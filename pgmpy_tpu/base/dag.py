@@ -1,0 +1,388 @@
+"""Directed acyclic graph base class (host-side symbolic layer).
+
+Re-implementation of the reference DAG
+(``/root/reference/pgmpy/base/DAG.py:16-1910``) as an ``nx.DiGraph``
+subclass.  Graph algebra (d-separation, moralization, ancestral graphs,
+CPDAG conversion) stays on host — it compiles to the static structures
+(elimination orders, message schedules) that the device kernels consume.
+"""
+
+import itertools
+
+import networkx as nx
+import numpy as np
+
+from pgmpy_tpu.base.roles import GraphRolesMixin
+from pgmpy_tpu.config import logger
+from pgmpy_tpu.independencies import Independencies
+
+
+class DAG(GraphRolesMixin, nx.DiGraph):
+    def __init__(self, ebunch=None, latents=[], lavaan_str=None, dagitty_str=None):
+        if lavaan_str is not None or dagitty_str is not None:
+            from pgmpy_tpu.utils.parser import parse_dagitty, parse_lavaan
+
+            if lavaan_str is not None:
+                ebunch, latents = parse_lavaan(lavaan_str)
+            else:
+                ebunch, latents = parse_dagitty(dagitty_str)
+        self._init_building = True
+        super().__init__(ebunch)
+        self._init_building = False
+        self.latents = set(latents)
+        cycles = []
+        try:
+            cycles = list(nx.find_cycle(self))
+        except nx.NetworkXNoCycle:
+            pass
+        else:
+            out_str = "Cycles are not allowed in a DAG."
+            out_str += "\nEdges indicating the path taken for a loop: "
+            out_str += "".join([f"({u},{v}) " for (u, v) in cycles])
+            raise ValueError(out_str)
+
+    @classmethod
+    def from_lavaan(cls, string=None, filename=None):
+        if filename:
+            with open(filename) as f:
+                string = f.read()
+        if string is None:
+            raise ValueError("Either `string` or `filename` must be specified")
+        return cls(lavaan_str=string.splitlines())
+
+    @classmethod
+    def from_dagitty(cls, string=None, filename=None):
+        if filename:
+            with open(filename) as f:
+                string = f.read()
+        if string is None:
+            raise ValueError("Either `string` or `filename` must be specified")
+        return cls(dagitty_str=string)
+
+    # ------------------------------------------------------------------ #
+    # structure edits
+    # ------------------------------------------------------------------ #
+    def add_node(self, node, weight=None, latent=False):
+        if isinstance(node, tuple) and len(node) == 2 and isinstance(node[1], dict):
+            node, attrs = node
+            if weight is not None:
+                attrs["weight"] = weight
+        else:
+            attrs = {"weight": weight}
+        super().add_node(node, **attrs)
+        if latent:
+            self.with_role("latent", [node], inplace=True)
+
+    def add_nodes_from(self, nodes, weights=None, latent=False):
+        nodes = list(nodes)
+        if isinstance(latent, bool):
+            latent = [latent] * len(nodes)
+        if weights:
+            if len(nodes) != len(weights):
+                raise ValueError(
+                    "The number of elements in nodes and weights should be equal."
+                )
+            for node, weight, lat in zip(nodes, weights, latent):
+                self.add_node(node, weight=weight, latent=lat)
+        else:
+            for node, lat in zip(nodes, latent):
+                self.add_node(node, latent=lat)
+
+    def add_edge(self, u, v, weight=None):
+        super().add_edge(u, v, weight=weight)
+        # during nx bulk construction the whole-graph cycle check in
+        # __init__ covers this (per-edge errors would be wrapped by nx)
+        if getattr(self, "_init_building", False):
+            return
+        if u != v and nx.has_path(self, v, u):
+            # adding this edge created a cycle; undo and raise
+            self.remove_edge(u, v)
+            raise ValueError(f"Loops are not allowed. Adding the edge from ({u}->{v}) forms a loop.")
+
+    def add_edges_from(self, ebunch, weights=None):
+        ebunch = list(ebunch)
+        if weights:
+            if len(ebunch) != len(weights):
+                raise ValueError(
+                    "The number of elements in ebunch and weights should be equal"
+                )
+            for edge, weight in zip(ebunch, weights):
+                self.add_edge(edge[0], edge[1], weight=weight)
+        else:
+            for edge in ebunch:
+                self.add_edge(edge[0], edge[1])
+
+    # ------------------------------------------------------------------ #
+    # neighborhood queries
+    # ------------------------------------------------------------------ #
+    def get_parents(self, node):
+        return list(self.predecessors(node))
+
+    def get_children(self, node):
+        return list(self.successors(node))
+
+    def get_leaves(self):
+        return [node for node, out in self.out_degree_iter() if out == 0]
+
+    def get_roots(self):
+        return [node for node, in_deg in dict(self.in_degree()).items() if in_deg == 0]
+
+    def out_degree_iter(self, nbunch=None, weight=None):
+        return iter(self.out_degree(nbunch, weight))
+
+    def in_degree_iter(self, nbunch=None, weight=None):
+        return iter(self.in_degree(nbunch, weight))
+
+    def get_markov_blanket(self, node):
+        """Parents, children, and children's other parents."""
+        children = self.get_children(node)
+        blanket_nodes = set(self.get_parents(node)) | set(children)
+        for child in children:
+            blanket_nodes.update(self.get_parents(child))
+        blanket_nodes.discard(node)
+        return list(blanket_nodes)
+
+    def get_ancestral_graph(self, nodes):
+        return self.subgraph(nodes=self._get_ancestors_of(nodes=list(nodes)))
+
+    def _get_ancestors_of(self, nodes):
+        if not isinstance(nodes, (list, tuple, set)):
+            nodes = [nodes]
+        for node in nodes:
+            if node not in self.nodes():
+                raise ValueError(f"Node {node} not in graph")
+        ancestors = set(nodes)
+        for node in nodes:
+            ancestors |= nx.ancestors(self, node)
+        return ancestors
+
+    # ------------------------------------------------------------------ #
+    # moralization / conversions
+    # ------------------------------------------------------------------ #
+    def moralize(self):
+        """Moral (undirected) graph: marry parents, drop directions."""
+        from pgmpy_tpu.base.undirected import UndirectedGraph
+
+        moral_graph = UndirectedGraph()
+        moral_graph.add_nodes_from(self.nodes())
+        moral_graph.add_edges_from(self.to_undirected().edges())
+        for node in self.nodes():
+            moral_graph.add_edges_from(
+                itertools.combinations(self.get_parents(node), 2)
+            )
+        return moral_graph
+
+    def get_immoralities(self):
+        """v-structures X->Z<-Y with X,Y non-adjacent, as {child: [(p1, p2)]}."""
+        immoralities = {}
+        for node in self.nodes():
+            pairs = []
+            for p1, p2 in itertools.combinations(sorted(self.predecessors(node)), 2):
+                if not self.has_edge(p1, p2) and not self.has_edge(p2, p1):
+                    pairs.append((p1, p2))
+            if pairs:
+                immoralities[node] = pairs
+        return immoralities
+
+    def is_iequivalent(self, model):
+        """Same skeleton + same immoralities."""
+        if not isinstance(model, DAG):
+            raise TypeError("model must be an instance of DAG")
+        return (
+            set(map(frozenset, self.to_undirected().edges()))
+            == set(map(frozenset, model.to_undirected().edges()))
+        ) and (self.get_immoralities() == model.get_immoralities())
+
+    def to_pdag(self):
+        """CPDAG of this DAG: v-structure edges directed, rest undirected,
+        completed with Meek's rules."""
+        from pgmpy_tpu.base.pdag import PDAG
+
+        directed = set()
+        for child, pairs in self.get_immoralities().items():
+            for p1, p2 in pairs:
+                directed.add((p1, child))
+                directed.add((p2, child))
+        undirected = [
+            (u, v) for u, v in self.edges() if (u, v) not in directed
+        ]
+        pdag = PDAG(
+            directed_ebunch=list(directed),
+            undirected_ebunch=undirected,
+            latents=self.latents,
+        )
+        pdag.add_nodes_from(self.nodes())
+        pdag.apply_meeks_rules(inplace=True)
+        return pdag
+
+    def do(self, nodes, inplace=False):
+        """Apply the do-operator: sever incoming edges of ``nodes``."""
+        if isinstance(nodes, (str, int)):
+            nodes = [nodes]
+        for node in nodes:
+            if node not in self.nodes():
+                raise ValueError(f"Node: {node} is not in the graph.")
+        dag = self if inplace else self.copy()
+        for node in nodes:
+            for parent in list(dag.predecessors(node)):
+                dag.remove_edge(parent, node)
+        return dag
+
+    # ------------------------------------------------------------------ #
+    # independencies / d-separation
+    # ------------------------------------------------------------------ #
+    def local_independencies(self, variables):
+        """X ⟂ nondescendants(X) \\ parents(X) | parents(X)."""
+        independencies = Independencies()
+        for variable in (
+            variables if isinstance(variables, (list, tuple)) else [variables]
+        ):
+            non_descendents = (
+                set(self.nodes())
+                - {variable}
+                - set(nx.dfs_preorder_nodes(self, variable))
+            )
+            parents = set(self.get_parents(variable))
+            if non_descendents - parents:
+                independencies.add_assertions(
+                    [variable, non_descendents - parents, parents]
+                )
+        return independencies
+
+    def get_independencies(self, latex=False, include_latents=False):
+        """Pairwise minimal d-separations for all non-adjacent pairs."""
+        nodes = set(self.nodes())
+        if not include_latents:
+            nodes -= self.latents
+        independencies = Independencies()
+        for x, y in itertools.combinations(nodes, 2):
+            if not self.has_edge(x, y) and not self.has_edge(y, x):
+                sep = self.minimal_dseparator(x, y, include_latents=include_latents)
+                if sep is not None:
+                    independencies.add_assertions([x, y, sep])
+        independencies = independencies.reduce()
+        return independencies.latex_string() if latex else independencies
+
+    def is_dconnected(self, start, end, observed=None, include_latents=False):
+        return end in self.active_trail_nodes(
+            start, observed=observed, include_latents=include_latents
+        )[start]
+
+    def minimal_dseparator(self, start, end, include_latents=False):
+        """A minimal separating set between start and end, or None."""
+        if self.has_edge(start, end) or self.has_edge(end, start):
+            raise ValueError("No possible separators because start and end are adjacent")
+        sep = nx.find_minimal_d_separator(self, {start}, {end})
+        if sep is None:
+            return None
+        if not include_latents and (sep & self.latents):
+            # search for a separator avoiding latents: restrict to the
+            # ancestral graph and try separators over observed nodes only
+            an_graph = self.get_ancestral_graph([start, end])
+            candidates = set(an_graph.nodes()) - {start, end} - self.latents
+            for r in range(len(candidates) + 1):
+                for cand in itertools.combinations(sorted(candidates, key=str), r):
+                    if nx.is_d_separator(self, {start}, {end}, set(cand)):
+                        return set(cand)
+            return None
+        return sep
+
+    def active_trail_nodes(self, variables, observed=None, include_latents=False):
+        """Bayes-ball reachability (Koller & Friedman Alg. 3.1): nodes with an
+        active trail from each start variable given ``observed``."""
+        if observed:
+            observed_list = (
+                list(observed) if isinstance(observed, (list, tuple, set)) else [observed]
+            )
+        else:
+            observed_list = []
+        ancestors = self._get_ancestors_of(observed_list) if observed_list else set()
+
+        active_trails = {}
+        for start in variables if isinstance(variables, (list, tuple)) else [variables]:
+            visit = {(start, "up")}
+            traversed = set()
+            active = set()
+            while visit:
+                node, direction = visit.pop()
+                if (node, direction) in traversed:
+                    continue
+                traversed.add((node, direction))
+                if node not in observed_list:
+                    active.add(node)
+                if direction == "up" and node not in observed_list:
+                    visit.update((p, "up") for p in self.predecessors(node))
+                    visit.update((c, "down") for c in self.successors(node))
+                elif direction == "down":
+                    if node not in observed_list:
+                        visit.update((c, "down") for c in self.successors(node))
+                    if node in ancestors:
+                        visit.update((p, "up") for p in self.predecessors(node))
+            active_trails[start] = active if include_latents else active - self.latents
+        return active_trails
+
+    # ------------------------------------------------------------------ #
+    # generation / comparison
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def get_random(n_nodes=5, edge_prob=0.5, node_names=None, latents=False, seed=None):
+        """Random DAG: sample a topological order, then independent edges."""
+        gen = np.random.default_rng(seed)
+        if node_names is None:
+            node_names = [str(i) for i in range(n_nodes)]
+        order = list(gen.permutation(n_nodes))
+        adj = gen.random((n_nodes, n_nodes)) < edge_prob
+        edges = [
+            (node_names[order[i]], node_names[order[j]])
+            for i in range(n_nodes)
+            for j in range(i + 1, n_nodes)
+            if adj[i, j]
+        ]
+        dag = DAG(edges)
+        dag.add_nodes_from(node_names)
+        if latents:
+            n_latents = int(gen.integers(0, n_nodes))
+            dag.latents = set(
+                gen.choice(node_names, n_latents, replace=False).tolist()
+            )
+        return dag
+
+    def copy(self):
+        dag = DAG()
+        dag.add_nodes_from(self.nodes(data=True))
+        dag.add_edges_from(self.edges())
+        return dag
+
+    def __eq__(self, other):
+        if not isinstance(other, DAG):
+            return False
+        return (
+            set(self.nodes()) == set(other.nodes())
+            and set(self.edges()) == set(other.edges())
+            and self.latents == other.latents
+        )
+
+    def __hash__(self):
+        return hash(
+            (frozenset(self.nodes()), frozenset(self.edges()), frozenset(self.latents))
+        )
+
+    def to_lavaan(self):
+        lines = []
+        for node in sorted(self.nodes(), key=str):
+            parents = sorted(self.get_parents(node), key=str)
+            if parents:
+                lines.append(f"{node} ~ {' + '.join(map(str, parents))}")
+        return "\n".join(lines)
+
+    def to_dagitty(self):
+        lines = ["dag {"]
+        for u, v in sorted(self.edges(), key=str):
+            lines.append(f"{u} -> {v}")
+        lines.append("}")
+        return "\n".join(lines)
+
+    def to_graphviz(self, plot_edge_strength=False):
+        import pygraphviz  # soft dependency
+
+        return nx.nx_agraph.to_agraph(self)
