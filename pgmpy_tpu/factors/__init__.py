@@ -5,6 +5,13 @@ from pgmpy_tpu.factors.factor_ops import (
     factor_sum_product,
     factor_divide,
 )
+from pgmpy_tpu.factors.factor_dict import FactorDict
+from pgmpy_tpu.factors.factor_set import (
+    FactorSet,
+    factorset_product,
+    factorset_divide,
+)
+from pgmpy_tpu.factors.jpd import JointProbabilityDistribution
 
 __all__ = [
     "DiscreteFactor",
@@ -13,4 +20,9 @@ __all__ = [
     "factor_product",
     "factor_sum_product",
     "factor_divide",
+    "FactorDict",
+    "FactorSet",
+    "factorset_product",
+    "factorset_divide",
+    "JointProbabilityDistribution",
 ]

@@ -1,0 +1,56 @@
+"""NaiveBayes: star-topology Bayesian network.
+
+Parity: ``/root/reference/pgmpy/models/NaiveBayes.py:5-222``.
+"""
+
+from pgmpy_tpu.independencies import Independencies
+from pgmpy_tpu.models.discrete_bn import DiscreteBayesianNetwork
+
+
+class NaiveBayes(DiscreteBayesianNetwork):
+    def __init__(self, feature_vars=None, dependent_var=None):
+        self.dependent = dependent_var
+        self.features = set(feature_vars) if feature_vars else set()
+        edges = (
+            [(dependent_var, feature) for feature in self.features]
+            if dependent_var and feature_vars
+            else None
+        )
+        super().__init__(edges)
+        if dependent_var:
+            self.add_node(dependent_var)
+
+    def add_edge(self, u, v, *args, **kwargs):
+        if self.dependent and u != self.dependent:
+            raise ValueError(
+                f"Model can have only one parent node: {self.dependent}. "
+                f"Got parent: {u}"
+            )
+        self.dependent = u
+        self.features.add(v)
+        super().add_edge(u, v, *args, **kwargs)
+
+    def local_independencies(self, variables):
+        independencies = Independencies()
+        for variable in (
+            variables if isinstance(variables, (list, tuple)) else [variables]
+        ):
+            if variable != self.dependent:
+                others = self.features - {variable}
+                if others:
+                    independencies.add_assertions(
+                        [variable, list(others), [self.dependent]]
+                    )
+        return independencies
+
+    def fit(self, data, parent_node=None, estimator=None, **kwargs):
+        if parent_node is None:
+            if not self.dependent:
+                raise ValueError("parent node must be specified for the model")
+            parent_node = self.dependent
+        if parent_node not in data.columns:
+            raise ValueError(f"Dependent variable: {parent_node} is not present in the data")
+        for child_node in data.columns:
+            if child_node != parent_node:
+                self.add_edge(parent_node, child_node)
+        return super().fit(data, estimator=estimator, **kwargs)
