@@ -1,0 +1,126 @@
+"""Example-model zoo, discretization and data preprocessing helpers.
+
+Parity: ``/root/reference/pgmpy/utils/utils.py:16-498``.  Example networks
+are the standard public bnlearn repository datasets (bundled as data
+fixtures in ``example_models/``) plus dagitty teaching DAGs.
+"""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+_EXAMPLE_DIR = os.path.join(os.path.dirname(__file__), "example_models")
+
+DISCRETE_MODELS = {
+    "asia", "cancer", "earthquake", "sachs", "survey",
+    "alarm", "barley", "child", "insurance", "mildew", "water",
+    "hailfinder", "hepar2", "win95pts",
+    "andes", "diabetes", "link", "munin1", "munin2", "munin3", "munin4",
+    "pathfinder", "pigs", "munin",
+}
+GAUSSIAN_MODELS = {"ecoli70", "magic-niab", "magic-irri", "arth150"}
+DAG_MODELS = {
+    "M-bias", "confounding", "mediator", "paths",
+    "Sebastiani_2005", "Polzer_2012", "Schipf_2010", "Shrier_2008",
+    "Acid_1996", "Thoemmes_2013", "Kampen_2014", "Didelez_2010",
+}
+
+
+def get_example_model(model):
+    """Load a bundled example network by name.
+
+    Discrete networks load from .bif.gz; Gaussian networks from .json;
+    teaching DAGs from dagitty .txt files.
+    """
+    if model in DISCRETE_MODELS:
+        from pgmpy_tpu.readwrite.bif import BIFReader
+
+        path = os.path.join(_EXAMPLE_DIR, f"{model}.bif.gz")
+        return BIFReader(path=path).get_model()
+    if model in GAUSSIAN_MODELS:
+        from pgmpy_tpu.factors.continuous import LinearGaussianCPD
+        from pgmpy_tpu.models.linear_gaussian_bn import LinearGaussianBayesianNetwork
+
+        with open(os.path.join(_EXAMPLE_DIR, f"{model}.json")) as f:
+            spec = json.load(f)
+        lgbn = LinearGaussianBayesianNetwork()
+        lgbn.add_nodes_from(spec["nodes"])
+        lgbn.add_edges_from([tuple(arc) for arc in spec["arcs"]])
+        cpds = []
+        for var, cpd_spec in spec["cpds"].items():
+            parents = cpd_spec.get("parents", [])
+            coeffs = cpd_spec["coefficients"]
+            beta = [float(coeffs["(Intercept)"][0])] + [
+                float(coeffs[p][0]) for p in parents
+            ]
+            std = float(np.sqrt(cpd_spec["variance"][0]))
+            cpds.append(LinearGaussianCPD(var, beta, std, evidence=parents))
+        lgbn.add_cpds(*cpds)
+        return lgbn
+    if model in DAG_MODELS:
+        from pgmpy_tpu.base.dag import DAG
+
+        with open(os.path.join(_EXAMPLE_DIR, f"{model}.txt")) as f:
+            return DAG.from_dagitty(string=f.read())
+    raise ValueError(f"Unknown example model: {model}")
+
+
+def get_dataset_type(data):
+    """Classify a DataFrame as 'discrete', 'continuous' or 'mixed'."""
+    dtypes = set()
+    for col in data.columns:
+        if pd.api.types.is_float_dtype(data[col]):
+            dtypes.add("continuous")
+        else:
+            dtypes.add("discrete")
+    if dtypes == {"continuous"}:
+        return "continuous"
+    if dtypes == {"discrete"}:
+        return "discrete"
+    return "mixed"
+
+
+def preprocess_data(df, state_names=None):
+    """Integer-code a DataFrame of discrete observations.
+
+    Returns (codes ndarray [n, d] int32, variables list, state_names dict).
+    This is the pandas -> device boundary codec: everything downstream
+    works on the integer array.
+    """
+    variables = list(df.columns)
+    if state_names is None:
+        state_names = {}
+    state_names = dict(state_names)
+    codes = np.empty((df.shape[0], len(variables)), dtype=np.int32)
+    for j, var in enumerate(variables):
+        col = df[var]
+        if var not in state_names:
+            state_names[var] = sorted(col.dropna().unique().tolist(), key=lambda x: str(x))
+        mapping = {s: i for i, s in enumerate(state_names[var])}
+        codes[:, j] = col.map(mapping).fillna(-1).astype(np.int32)
+    return codes, variables, state_names
+
+
+def discretize(data, cardinality, labels=None, method="rounding"):
+    """Discretize continuous columns into ``cardinality`` bins.
+
+    method: "rounding" (equal-width bins) or "quantile".
+    """
+    out = {}
+    for col in data.columns:
+        card = cardinality[col] if isinstance(cardinality, dict) else cardinality
+        if method == "quantile":
+            binned = pd.qcut(data[col], q=card, labels=labels, duplicates="drop")
+        else:
+            binned = pd.cut(data[col], bins=card, labels=labels)
+        out[col] = binned
+    return pd.DataFrame(out)
+
+
+def llm_pairwise_orient(*args, **kwargs):
+    raise NotImplementedError(
+        "LLM-based edge orientation requires network access (litellm); "
+        "provide an `orient_fn` callback to ExpertInLoop instead."
+    )
