@@ -15,6 +15,7 @@ from pgmpy_tpu.factors.cpd import TabularCPD
 from pgmpy_tpu.factors.discrete import DiscreteFactor
 from pgmpy_tpu.models.discrete_bn import DiscreteBayesianNetwork
 from pgmpy_tpu.models.factor_graph import FactorGraph
+from pgmpy_tpu.models.cluster_graph import ClusterGraph
 from pgmpy_tpu.models.junction_tree import JunctionTree
 from pgmpy_tpu.models.markov_network import DiscreteMarkovNetwork
 
@@ -27,7 +28,7 @@ class Inference:
 
     def _initialize_structures(self):
         model = self.model
-        if isinstance(model, JunctionTree):
+        if isinstance(model, (JunctionTree, ClusterGraph)):
             self.variables = set(chain(*model.nodes()))
         else:
             self.variables = model.nodes()
@@ -44,7 +45,7 @@ class Inference:
                 for var in factor.scope():
                     self.factors[var].append(factor)
                 self.state_names_map.update(factor.no_to_name)
-        elif isinstance(model, (DiscreteMarkovNetwork, FactorGraph, JunctionTree)):
+        elif isinstance(model, (DiscreteMarkovNetwork, FactorGraph, JunctionTree, ClusterGraph)):
             self.cardinality = model.get_cardinality()
             for factor in model.get_factors():
                 for var in factor.variables:

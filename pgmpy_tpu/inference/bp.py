@@ -1,0 +1,463 @@
+"""BeliefPropagation: junction-tree calibration as ONE compiled XLA program.
+
+Reference behavior: ``/root/reference/pgmpy/inference/ExactInference.py:725-1319``
+(Lauritzen-Spiegelhalter belief update, Koller & Friedman Alg. 10.3).
+
+TPU-native redesign: the reference loops Python-level messages with an
+O(edges) convergence re-check per root candidate.  Here the host compiles
+the clique tree into a *static program*:
+
+  stage 0: clique potentials = broadcast-products of the assigned CPT/factor
+           arrays (no eager per-clique factor_product on host),
+  stage 1: two-pass message schedule (leaves->root, root->leaves — provably
+           exact in one sweep, no convergence checks),
+
+and the whole thing is traced once into a single ``jax.jit`` over the raw
+factor arrays.  XLA fuses the per-message op chains; repeat calibrations
+(same structure, new CPT values) cost one kernel launch.  Messages are
+sum-normalized in-flight to keep f32 scale; queries normalize at the end,
+so only relative values matter.  Disconnected clique *forests* (from pruned
+models) are supported throughout.
+"""
+
+import itertools
+
+import networkx as nx
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pgmpy_tpu.factors.discrete import DiscreteFactor
+from pgmpy_tpu.inference.base import Inference
+from pgmpy_tpu.inference.ve import VariableElimination
+from pgmpy_tpu.models.cluster_graph import ClusterGraph
+from pgmpy_tpu.models.discrete_bn import DiscreteBayesianNetwork
+from pgmpy_tpu.models.factor_graph import FactorGraph
+from pgmpy_tpu.models.junction_tree import JunctionTree
+from pgmpy_tpu.models.markov_network import DiscreteMarkovNetwork, greedy_elimination_order
+
+
+def _safe_div(a, b):
+    out = a / b
+    return jnp.where(jnp.isnan(out) | jnp.isinf(out), 0.0, out)
+
+
+def _broadcast_spec(src_vars, dst_vars):
+    """(perm, shape_spec) to expand an array over ``src_vars`` into the axis
+    layout of ``dst_vars`` (src_vars ⊆ dst_vars)."""
+    in_dst_order = [v for v in dst_vars if v in src_vars]
+    perm = tuple(src_vars.index(v) for v in in_dst_order)
+    shape_spec = tuple(
+        in_dst_order.index(v) if v in src_vars else None for v in dst_vars
+    )
+    return perm, shape_spec
+
+
+def _expand(arr, perm, shape_spec):
+    """Transpose by ``perm`` then insert singleton axes per ``shape_spec``."""
+    arr_t = jnp.transpose(arr, perm)
+    shape = []
+    it = iter(arr_t.shape)
+    for spec in shape_spec:
+        shape.append(next(it) if spec is not None else 1)
+    return arr_t.reshape(tuple(shape))
+
+
+class JunctionTreeProgram:
+    """Host compile artifact: clique structure, factor assignment, message
+    schedule — plus the jitted device executor."""
+
+    def __init__(self, cliques, edges, cards, factor_scopes, assignment):
+        """
+        cliques : list of tuples of variable names
+        edges : list of (clique, clique) tree/forest edges
+        cards : {var: cardinality}
+        factor_scopes : list of factor variable lists (program inputs)
+        assignment : list of clique indices, aligned with factor_scopes
+        """
+        self.cliques = list(cliques)
+        self.index = {c: i for i, c in enumerate(self.cliques)}
+        self.cards = dict(cards)
+        self.clique_shapes = [
+            tuple(int(cards[v]) for v in c) for c in self.cliques
+        ]
+
+        # stage 0 specs: factor -> clique broadcast
+        self.potential_specs = [[] for _ in self.cliques]
+        for f_idx, (scope, c_idx) in enumerate(zip(factor_scopes, assignment)):
+            perm, shape_spec = _broadcast_spec(list(scope), list(self.cliques[c_idx]))
+            self.potential_specs[c_idx].append((f_idx, perm, shape_spec))
+
+        # stage 1: two-pass schedule per connected component
+        tree = nx.Graph()
+        tree.add_nodes_from(self.cliques)
+        tree.add_edges_from(edges)
+        upward, downward, ordered_edges = [], [], []
+        for component in nx.connected_components(tree):
+            root = next(iter(component))
+            comp_edges = list(nx.bfs_edges(tree, root))
+            ordered_edges.extend(comp_edges)
+            upward.extend((child, parent) for parent, child in reversed(comp_edges))
+            downward.extend((parent, child) for parent, child in comp_edges)
+
+        self.edge_ids = {}
+        for parent, child in ordered_edges:
+            self.edge_ids[frozenset((parent, child))] = len(self.edge_ids)
+        self.n_edges = len(self.edge_ids)
+
+        self.messages = []
+        for src, dst in upward + downward:
+            sepset = sorted(set(src) & set(dst), key=str)
+            src_vars, dst_vars = list(src), list(dst)
+            reduce_axes = tuple(i for i, v in enumerate(src_vars) if v not in sepset)
+            kept = [v for v in src_vars if v in sepset]
+            perm_to_canon = tuple(kept.index(v) for v in sepset)
+            bperm, bspec = _broadcast_spec(sepset, dst_vars)
+            self.messages.append(
+                (
+                    self.index[src],
+                    self.index[dst],
+                    reduce_axes,
+                    perm_to_canon,
+                    (bperm, bspec),
+                    self.edge_ids[frozenset((src, dst))],
+                )
+            )
+        self._fns = {}
+
+    # -- factory ------------------------------------------------------- #
+    @classmethod
+    def from_factors(cls, factor_scopes, cards, heuristic="weight"):
+        """Compile clique structure from factor scopes: moral graph ->
+        greedy triangulation -> max cliques -> MST on sepset weights ->
+        factor-to-clique assignment."""
+        graph = nx.Graph()
+        for scope in factor_scopes:
+            graph.add_nodes_from(scope)
+            graph.add_edges_from(itertools.combinations(scope, 2))
+
+        adj = {n: set(graph.neighbors(n)) for n in graph.nodes()}
+        weights = {n: float(np.log(max(int(cards[n]), 1))) for n in graph.nodes()}
+        _, fill = greedy_elimination_order(adj, weights, heuristic=heuristic)
+        graph.add_edges_from(fill)
+
+        cliques = [tuple(sorted(c, key=str)) for c in nx.find_cliques(graph)]
+
+        # MST on sepset sizes
+        cg = nx.Graph()
+        cg.add_nodes_from(cliques)
+        for c1, c2 in itertools.combinations(cliques, 2):
+            w = len(set(c1) & set(c2))
+            if w:
+                cg.add_edge(c1, c2, weight=-w)
+        edges = [
+            (u, v) for u, v, _ in nx.minimum_spanning_edges(cg, data=True)
+        ]
+
+        # assign each factor to the first clique containing its scope
+        var_to_cliques = {}
+        for i, clique in enumerate(cliques):
+            for v in clique:
+                var_to_cliques.setdefault(v, []).append(i)
+        assignment = []
+        for scope in factor_scopes:
+            scope_set = set(scope)
+            for c_idx in var_to_cliques[scope[0]]:
+                if scope_set <= set(cliques[c_idx]):
+                    assignment.append(c_idx)
+                    break
+            else:
+                raise ValueError(
+                    f"Factor scope {scope} not covered by any clique"
+                )
+        return cls(cliques, edges, cards, factor_scopes, assignment)
+
+    # -- device executor ----------------------------------------------- #
+    def executor(self, operation):
+        if operation in self._fns:
+            return self._fns[operation]
+        messages = self.messages
+        n_edges = self.n_edges
+        potential_specs = self.potential_specs
+        clique_shapes = self.clique_shapes
+        from pgmpy_tpu.config import config
+
+        def calibrate(factor_arrays):
+            # stage 0: clique potentials
+            beliefs = []
+            for c_idx, specs in enumerate(potential_specs):
+                if not specs:
+                    pot = jnp.ones(clique_shapes[c_idx], dtype=config.DTYPE)
+                else:
+                    f_idx, perm, spec = specs[0]
+                    pot = jnp.broadcast_to(
+                        _expand(factor_arrays[f_idx], perm, spec),
+                        clique_shapes[c_idx],
+                    )
+                    for f_idx, perm, spec in specs[1:]:
+                        pot = pot * _expand(factor_arrays[f_idx], perm, spec)
+                beliefs.append(pot)
+            # stage 1: two-pass LS message schedule
+            mu = [None] * n_edges
+            for src, dst, reduce_axes, perm, (bperm, bspec), edge in messages:
+                if operation == "marginalize":
+                    sigma = jnp.sum(beliefs[src], axis=reduce_axes)
+                else:
+                    sigma = jnp.max(beliefs[src], axis=reduce_axes)
+                sigma = jnp.transpose(sigma, perm)
+                # scale control: messages are ratios; normalize in-flight
+                sigma = sigma / jnp.maximum(jnp.sum(sigma), 1e-38)
+                if mu[edge] is None:
+                    ratio = sigma
+                else:
+                    ratio = _safe_div(sigma, mu[edge])
+                beliefs[dst] = beliefs[dst] * _expand(ratio, bperm, bspec)
+                mu[edge] = sigma
+            return beliefs, mu
+
+        fn = jax.jit(calibrate)
+        self._fns[operation] = fn
+        return fn
+
+
+class BeliefPropagation(Inference):
+    def __init__(self, model):
+        super().__init__(model)
+        self.clique_beliefs = {}
+        self.sepset_beliefs = {}
+        self._calibrated_operation = None
+
+        if isinstance(model, JunctionTree):
+            self.junction_tree = model.copy()
+            factors = self.junction_tree.factors
+            self._input_factors = factors
+            cards = self.junction_tree.get_cardinality()
+            cliques = list(self.junction_tree.nodes())
+            clique_of = {frozenset(c): i for i, c in enumerate(cliques)}
+            assignment = [clique_of[frozenset(f.scope())] for f in factors]
+            self._program = JunctionTreeProgram(
+                cliques,
+                list(self.junction_tree.edges()),
+                cards,
+                [list(f.variables) for f in factors],
+                assignment,
+            )
+        else:
+            if isinstance(model, DiscreteBayesianNetwork):
+                factors = [cpd.to_factor() for cpd in model.get_cpds()]
+            elif isinstance(model, (DiscreteMarkovNetwork, FactorGraph)):
+                factors = list(model.get_factors())
+            else:
+                raise TypeError(f"Unsupported model type: {type(model)}")
+            self._input_factors = factors
+            cards = {}
+            for f in factors:
+                for v, c in zip(f.variables, f.cardinality):
+                    cards[v] = int(c)
+            self._program = JunctionTreeProgram.from_factors(
+                [list(f.variables) for f in factors], cards
+            )
+            # materialize the clique-tree graph (without eager potentials)
+            self.junction_tree = JunctionTree()
+            self.junction_tree.add_nodes_from(self._program.cliques)
+            for edge_key in self._program.edge_ids:
+                u, v = tuple(edge_key)
+                self.junction_tree.add_edge(u, v)
+
+        self._state_names = {}
+        for f in self._input_factors:
+            self._state_names.update(f.state_names)
+
+    def get_cliques(self):
+        return self.junction_tree.nodes()
+
+    def get_clique_beliefs(self):
+        return self.clique_beliefs
+
+    def get_sepset_beliefs(self):
+        return self.sepset_beliefs
+
+    def _calibrate_junction_tree(self, operation):
+        program = self._program
+        arrays = [f.values for f in self._input_factors]
+        beliefs, mu = program.executor(operation)(arrays)
+
+        cards = program.cards
+        states = self._state_names
+        self.clique_beliefs = {}
+        for clique, values in zip(program.cliques, beliefs):
+            self.clique_beliefs[clique] = DiscreteFactor(
+                list(clique),
+                [cards[v] for v in clique],
+                values,
+                state_names={v: states[v] for v in clique if v in states},
+            )
+        self.sepset_beliefs = {}
+        for edge_key, edge_id in program.edge_ids.items():
+            c1, c2 = tuple(edge_key)
+            sepset = sorted(set(c1) & set(c2), key=str)
+            self.sepset_beliefs[edge_key] = (
+                DiscreteFactor(
+                    sepset,
+                    [cards[v] for v in sepset],
+                    mu[edge_id],
+                    state_names={v: states[v] for v in sepset if v in states},
+                )
+                if mu[edge_id] is not None
+                else None
+            )
+        self._calibrated_operation = operation
+
+    def calibrate(self):
+        """Exact two-pass Lauritzen-Spiegelhalter calibration, fully compiled
+        to one device program."""
+        self._calibrate_junction_tree(operation="marginalize")
+
+    def max_calibrate(self):
+        self._calibrate_junction_tree(operation="maximize")
+
+    def _query(self, variables, operation, evidence=None, joint=True, show_progress=False):
+        if self._calibrated_operation != operation:
+            self._calibrate_junction_tree(operation=operation)
+
+        if not isinstance(variables, (list, tuple, set)):
+            query_variables = [variables]
+        else:
+            query_variables = list(variables)
+        query_variables.extend(evidence.keys() if evidence else [])
+
+        # minimal covering subtree per connected component (pruned models can
+        # yield clique forests; independent components just multiply)
+        nodes_with_query_variables = set()
+        for var in query_variables:
+            nodes_with_query_variables.update(
+                c for c in self.junction_tree.nodes() if var in c
+            )
+        clique_potential_list = []
+        all_subtree_nodes = set()
+        all_subtree_edges = []
+        for component in nx.connected_components(self.junction_tree):
+            covering = [c for c in nodes_with_query_variables if c in component]
+            if not covering:
+                continue
+            subtree_nodes = set(covering)
+            for i in range(len(covering) - 1):
+                subtree_nodes.update(
+                    nx.shortest_path(self.junction_tree, covering[i], covering[i + 1])
+                )
+            sub = self.junction_tree.subgraph(subtree_nodes)
+            all_subtree_nodes |= subtree_nodes
+            all_subtree_edges.extend(sub.edges())
+            # clique potentials: root belief, then child beliefs divided by
+            # their sepset beliefs (Koller & Friedman Alg. 10.4)
+            root_node = next(iter(subtree_nodes))
+            clique_potential_list.append(self.clique_beliefs[root_node])
+            parent_nodes = {root_node}
+            traversed = set()
+            while parent_nodes:
+                parent_node = parent_nodes.pop()
+                for child_node in set(sub.neighbors(parent_node)) - traversed:
+                    sepset_belief = self.sepset_beliefs[
+                        frozenset((parent_node, child_node))
+                    ]
+                    clique_potential_list.append(
+                        self.clique_beliefs[child_node] / sepset_belief
+                    )
+                    parent_nodes.add(child_node)
+                traversed.add(parent_node)
+
+        # a ClusterGraph tolerates clique forests (JunctionTree insists on
+        # connectedness); VE only needs the factor list
+        subtree = ClusterGraph()
+        subtree.add_nodes_from(all_subtree_nodes)
+        for u, v in all_subtree_edges:
+            subtree.add_edge(u, v)
+        subtree.add_factors(*clique_potential_list)
+
+        variable_elimination = VariableElimination(subtree)
+        if operation == "marginalize":
+            return variable_elimination.query(
+                variables=variables, evidence=evidence, joint=joint,
+                show_progress=show_progress,
+            )
+        return variable_elimination.map_query(
+            variables=variables, evidence=evidence, show_progress=show_progress
+        )
+
+    def query(
+        self,
+        variables,
+        evidence=None,
+        virtual_evidence=None,
+        joint=True,
+        show_progress=False,
+    ):
+        """Posterior P(variables | evidence) from the calibrated tree."""
+        evidence = evidence if evidence is not None else dict()
+        common_vars = set(evidence).intersection(set(variables))
+        if common_vars:
+            raise ValueError(f"Can't have the same variables in both `variables` and `evidence`. Found in both: {common_vars}")
+
+        if isinstance(self.model, DiscreteBayesianNetwork) and virtual_evidence is not None:
+            original = self.model
+            try:
+                self._virtual_evidence(virtual_evidence)
+                virt_evidence = {"__" + str(cpd.variables[0]): 0 for cpd in virtual_evidence}
+                return self.query(
+                    variables=variables,
+                    evidence={**evidence, **virt_evidence},
+                    virtual_evidence=None,
+                    joint=joint,
+                    show_progress=show_progress,
+                )
+            finally:
+                self.__init__(original)
+
+        if isinstance(self.model, DiscreteBayesianNetwork):
+            pruned, evidence = self._prune_bayesian_model(variables, evidence)
+            bp = BeliefPropagation(pruned)
+            result = bp._query(
+                variables=variables, operation="marginalize", evidence=evidence,
+                joint=joint, show_progress=show_progress,
+            )
+        else:
+            result = self._query(
+                variables=variables, operation="marginalize", evidence=evidence,
+                joint=joint, show_progress=show_progress,
+            )
+        if joint:
+            return result.normalize(inplace=False)
+        return result
+
+    def map_query(
+        self, variables=None, evidence=None, virtual_evidence=None, show_progress=False
+    ):
+        """MAP assignment of ``variables`` given evidence (argmax of the
+        sum-posterior joint, matching reference semantics)."""
+        variables = list(variables) if variables else []
+        common_vars = set(evidence if evidence is not None else []) & set(variables)
+        if common_vars:
+            raise ValueError(f"Can't have the same variables in both `variables` and `evidence`. Found in both: {common_vars}")
+
+        if isinstance(self.model, DiscreteBayesianNetwork) and virtual_evidence is not None:
+            original = self.model
+            try:
+                self._virtual_evidence(virtual_evidence)
+                virt_evidence = {"__" + str(cpd.variables[0]): 0 for cpd in virtual_evidence}
+                return self.map_query(
+                    variables=variables,
+                    evidence={**(evidence or {}), **virt_evidence},
+                    virtual_evidence=None,
+                    show_progress=show_progress,
+                )
+            finally:
+                self.__init__(original)
+
+        final_distribution = self.query(
+            variables=variables, evidence=evidence, joint=True,
+            show_progress=show_progress,
+        )
+        argmax = int(np.argmax(np.asarray(final_distribution.values)))
+        assignment = final_distribution.assignment([argmax])[0]
+        return {var: value for var, value in assignment}

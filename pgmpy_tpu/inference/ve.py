@@ -314,11 +314,6 @@ class VariableElimination(Inference):
             raise ValueError(f"Can't have the same variables in both `variables` and `evidence`. Found in both: {set(variables) & set(evidence.keys())}")
 
         if virtual_evidence:
-            ve_intersect = set(self._get_virtual_evidence_var_list(virtual_evidence))
-            if ve_intersect & set(variables):
-                raise ValueError(
-                    "Can't have the same variables in both `variables` and `virtual_evidence`."
-                )
             original_model = self.model
             try:
                 self._virtual_evidence(virtual_evidence)

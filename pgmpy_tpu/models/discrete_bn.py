@@ -24,14 +24,20 @@ class DiscreteBayesianNetwork(DAG):
     def __init__(self, ebunch=None, latents=[], lavaan_str=None, dagitty_str=None):
         super().__init__(ebunch, latents, lavaan_str, dagitty_str)
         self.cpds = []
+        self._version = 0
+
+    def _bump_version(self):
+        self._version = getattr(self, "_version", 0) + 1
 
     def add_edge(self, u, v, weight=None, **kwargs):
+        self._bump_version()
         if u == v:
             raise ValueError("Self loops are not allowed.")
         super().add_edge(u, v, weight=weight)
 
     def remove_node(self, node):
         """Remove node; children's CPDs are marginalized over it."""
+        self._bump_version()
         affected_nodes = [v for u, v in self.edges() if u == node]
         for affected_node in affected_nodes:
             node_cpd = self.get_cpds(node=affected_node)
@@ -46,6 +52,7 @@ class DiscreteBayesianNetwork(DAG):
             self.remove_node(node)
 
     def add_cpds(self, *cpds):
+        self._bump_version()
         for cpd in cpds:
             if not isinstance(cpd, (TabularCPD,)):
                 raise ValueError("Only TabularCPD can be added.")
@@ -70,6 +77,7 @@ class DiscreteBayesianNetwork(DAG):
         return self.cpds
 
     def remove_cpds(self, *cpds):
+        self._bump_version()
         for cpd in cpds:
             if isinstance(cpd, (str, int)):
                 cpd = self.get_cpds(cpd)

@@ -1,0 +1,108 @@
+"""BayesianModelSampling: forward / rejection / likelihood-weighted sampling.
+
+API parity with ``/root/reference/pgmpy/sampling/Sampling.py:17-409`` on top
+of the compiled ancestral sampler (``core.py``).
+"""
+
+import numpy as np
+
+from pgmpy_tpu.config import logger
+from pgmpy_tpu.sampling.core import CompiledAncestralSampler
+
+
+class BayesianModelSampling:
+    def __init__(self, model):
+        from pgmpy_tpu.models.discrete_bn import DiscreteBayesianNetwork
+
+        if not isinstance(model, DiscreteBayesianNetwork):
+            raise TypeError(
+                f"Model expected type: DiscreteBayesianNetwork, got type: {type(model)}"
+            )
+        self.model = model
+        # reuse the compiled program across sampler instances; model edits
+        # (add_cpds/add_edge/...) bump _version to invalidate
+        version = getattr(model, "_version", 0)
+        cached = model.__dict__.get("_compiled_sampler")
+        if cached is not None and cached[0] == version:
+            self.sampler = cached[1]
+        else:
+            self.sampler = CompiledAncestralSampler(model)
+            model.__dict__["_compiled_sampler"] = (version, self.sampler)
+        self.topological_order = self.sampler.variables
+
+    def _evidence_to_codes(self, evidence):
+        out = {}
+        for item in evidence:
+            var, state = item
+            names = self.sampler.state_names[var]
+            if state in names:
+                out[var] = names.index(state)
+            elif isinstance(state, (int, np.integer)) and 0 <= state < len(names):
+                out[var] = int(state)
+            else:
+                raise ValueError(f"Evidence state: {state} for {var} doesn't exist")
+        return out
+
+    def _partial_to_codes(self, partial_samples, size):
+        if partial_samples is None:
+            return None
+        if partial_samples.shape[0] != size:
+            raise ValueError("partial_samples.shape[0] must be equal to size")
+        codes = np.full((size, len(self.topological_order)), -1, dtype=np.int32)
+        for col in partial_samples.columns:
+            if col not in self.sampler.var_index:
+                continue
+            j = self.sampler.var_index[col]
+            names = {s: i for i, s in enumerate(self.sampler.state_names[col])}
+            codes[:, j] = partial_samples[col].map(names).fillna(-1).astype(np.int32)
+        return codes
+
+    def forward_sample(
+        self,
+        size=1,
+        include_latents=False,
+        seed=None,
+        show_progress=True,
+        partial_samples=None,
+        n_jobs=None,
+    ):
+        """Draw ``size`` i.i.d. samples from the joint, one compiled device
+        sweep over the topological order."""
+        partial = self._partial_to_codes(partial_samples, size)
+        codes = self.sampler.forward(size, seed=seed, partial=partial)
+        return self.sampler.to_dataframe(codes, include_latents=include_latents)
+
+    def rejection_sample(
+        self,
+        evidence=[],
+        size=1,
+        include_latents=False,
+        seed=None,
+        show_progress=True,
+        partial_samples=None,
+        n_jobs=None,
+    ):
+        """Exact conditional samples by rejection (root evidence clamped for
+        free)."""
+        if partial_samples is not None:
+            logger.warning("partial_samples are ignored in rejection_sample")
+        ev = self._evidence_to_codes(evidence)
+        codes = self.sampler.rejection(size, ev, seed=seed)
+        return self.sampler.to_dataframe(codes, include_latents=include_latents)
+
+    def likelihood_weighted_sample(
+        self,
+        evidence=[],
+        size=1,
+        include_latents=False,
+        seed=None,
+        show_progress=True,
+        n_jobs=None,
+    ):
+        """Weighted conditional samples: evidence clamped, weight =
+        P(evidence | parents), accumulated in the same device sweep."""
+        ev = self._evidence_to_codes(evidence)
+        codes, logw = self.sampler.likelihood_weighted(size, ev, seed=seed)
+        df = self.sampler.to_dataframe(codes, include_latents=include_latents)
+        df["_weight"] = np.exp(np.asarray(logw, dtype=np.float64))
+        return df

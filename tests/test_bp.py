@@ -1,0 +1,138 @@
+import numpy as np
+import pytest
+
+from pgmpy_tpu.factors import DiscreteFactor, TabularCPD, factor_product
+from pgmpy_tpu.inference import BeliefPropagation, VariableElimination
+from pgmpy_tpu.models import DiscreteBayesianNetwork, DiscreteMarkovNetwork
+from pgmpy_tpu.utils.utils import get_example_model
+
+
+def student_bn():
+    model = DiscreteBayesianNetwork(
+        [("diff", "grade"), ("intel", "grade"), ("grade", "letter"), ("intel", "SAT")]
+    )
+    model.add_cpds(
+        TabularCPD("diff", 2, [[0.6], [0.4]]),
+        TabularCPD("intel", 2, [[0.7], [0.3]]),
+        TabularCPD(
+            "grade", 3,
+            [[0.3, 0.05, 0.9, 0.5], [0.4, 0.25, 0.08, 0.3], [0.3, 0.7, 0.02, 0.2]],
+            evidence=["intel", "diff"], evidence_card=[2, 2],
+        ),
+        TabularCPD(
+            "letter", 2, [[0.1, 0.4, 0.99], [0.9, 0.6, 0.01]],
+            evidence=["grade"], evidence_card=[3],
+        ),
+        TabularCPD(
+            "SAT", 2, [[0.95, 0.2], [0.05, 0.8]],
+            evidence=["intel"], evidence_card=[2],
+        ),
+    )
+    return model
+
+
+class TestCalibration:
+    def test_clique_beliefs_are_marginals(self):
+        model = student_bn()
+        bp = BeliefPropagation(model)
+        bp.calibrate()
+        joint = factor_product(*[cpd.to_factor() for cpd in model.get_cpds()])
+        for clique, belief in bp.get_clique_beliefs().items():
+            expected = joint.marginalize(
+                [v for v in joint.variables if v not in clique], inplace=False
+            ).normalize(inplace=False)
+            assert belief.normalize(inplace=False) == expected, clique
+
+    def test_sepset_beliefs_consistent(self):
+        bp = BeliefPropagation(student_bn())
+        bp.calibrate()
+        for edge, sepset_belief in bp.get_sepset_beliefs().items():
+            c1, c2 = tuple(edge)
+            sep = set(c1) & set(c2)
+            m1 = bp.clique_beliefs[c1].marginalize(
+                list(set(c1) - sep), inplace=False
+            ).normalize(inplace=False)
+            m2 = bp.clique_beliefs[c2].marginalize(
+                list(set(c2) - sep), inplace=False
+            ).normalize(inplace=False)
+            assert m1 == m2
+
+    def test_markov_model_calibration(self):
+        mn = DiscreteMarkovNetwork([("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+        rng = np.random.default_rng(0)
+        for edge in mn.edges():
+            mn.add_factors(DiscreteFactor(list(edge), [2, 2], rng.random(4)))
+        bp = BeliefPropagation(mn)
+        bp.calibrate()
+        joint = factor_product(*mn.factors)
+        for clique, belief in bp.get_clique_beliefs().items():
+            expected = joint.marginalize(
+                [v for v in joint.variables if v not in clique], inplace=False
+            ).normalize(inplace=False)
+            assert belief.normalize(inplace=False) == expected
+
+
+class TestBPQueries:
+    def setup_method(self):
+        self.model = student_bn()
+        self.bp = BeliefPropagation(self.model)
+        self.ve = VariableElimination(self.model)
+
+    def test_query_matches_ve(self):
+        for variables, evidence in [
+            (["grade"], None),
+            (["intel"], {"grade": 0}),
+            (["letter", "SAT"], {"diff": 1}),
+            (["diff"], {"letter": 0, "SAT": 1}),
+        ]:
+            res_bp = self.bp.query(variables, evidence=evidence, show_progress=False)
+            res_ve = self.ve.query(variables, evidence=evidence, show_progress=False)
+            assert res_bp == res_ve, (variables, evidence)
+
+    def test_query_joint_false(self):
+        res = self.bp.query(["intel", "diff"], evidence={"grade": 1}, joint=False, show_progress=False)
+        for var in ["intel", "diff"]:
+            expected = self.ve.query([var], evidence={"grade": 1}, show_progress=False)
+            assert res[var].normalize(inplace=False) == expected
+
+    def test_map_query_matches_ve(self):
+        assert self.bp.map_query(
+            ["intel"], evidence={"SAT": 1}, show_progress=False
+        ) == self.ve.map_query(["intel"], evidence={"SAT": 1}, show_progress=False)
+
+    def test_query_overlap_raises(self):
+        with pytest.raises(ValueError):
+            self.bp.query(["grade"], evidence={"grade": 0})
+
+    def test_virtual_evidence_matches_ve(self):
+        virt = TabularCPD("intel", 2, [[0.9], [0.1]])
+        res_bp = self.bp.query(["grade"], virtual_evidence=[virt], show_progress=False)
+        res_ve = self.ve.query(["grade"], virtual_evidence=[virt], show_progress=False)
+        assert res_bp == res_ve
+
+
+class TestBPAlarm:
+    def test_alarm_parity_with_ve(self):
+        model = get_example_model("alarm")
+        bp = BeliefPropagation(model)
+        ve = VariableElimination(model)
+        res_bp = bp.query(["HISTORY"], evidence={"CVP": "LOW", "HR": "HIGH"}, show_progress=False)
+        res_ve = ve.query(["HISTORY"], evidence={"CVP": "LOW", "HR": "HIGH"}, show_progress=False)
+        assert res_bp == res_ve
+
+    def test_alarm_full_calibration(self):
+        model = get_example_model("alarm")
+        bp = BeliefPropagation(model)
+        bp.calibrate()
+        assert len(bp.get_clique_beliefs()) == len(bp.junction_tree.nodes())
+        # spot check one marginal vs VE
+        ve = VariableElimination(model)
+        clique = next(iter(bp.get_clique_beliefs()))
+        var = clique[0]
+        marg_bp = (
+            bp.get_clique_beliefs()[clique]
+            .marginalize([v for v in clique if v != var], inplace=False)
+            .normalize(inplace=False)
+        )
+        marg_ve = ve.query([var], show_progress=False)
+        assert marg_bp == marg_ve
