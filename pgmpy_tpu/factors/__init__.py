@@ -12,6 +12,7 @@ from pgmpy_tpu.factors.factor_set import (
     factorset_divide,
 )
 from pgmpy_tpu.factors.jpd import JointProbabilityDistribution
+from pgmpy_tpu.factors.continuous import LinearGaussianCPD
 
 __all__ = [
     "DiscreteFactor",
@@ -25,4 +26,5 @@ __all__ = [
     "factorset_product",
     "factorset_divide",
     "JointProbabilityDistribution",
+    "LinearGaussianCPD",
 ]

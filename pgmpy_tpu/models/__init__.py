@@ -5,6 +5,7 @@ from pgmpy_tpu.models.cluster_graph import ClusterGraph
 from pgmpy_tpu.models.junction_tree import JunctionTree
 from pgmpy_tpu.models.markov_chain import MarkovChain
 from pgmpy_tpu.models.naive_bayes import NaiveBayes
+from pgmpy_tpu.models.linear_gaussian_bn import LinearGaussianBayesianNetwork
 
 # deprecated aliases kept for API familiarity with the reference
 BayesianNetwork = DiscreteBayesianNetwork
@@ -18,6 +19,7 @@ __all__ = [
     "JunctionTree",
     "MarkovChain",
     "NaiveBayes",
+    "LinearGaussianBayesianNetwork",
     "BayesianNetwork",
     "MarkovNetwork",
 ]

@@ -1,0 +1,209 @@
+"""LinearGaussianBayesianNetwork: Gaussian BN with closed-form joint.
+
+Parity: ``/root/reference/pgmpy/models/LinearGaussianBayesianNetwork.py:14-818``.
+Device side: the joint mean/covariance, log-likelihood, conditional
+prediction and simulation are jnp linear algebra; the joint also serves as
+the logpdf target for the HMC/NUTS kernels (``sampling/hmc.py``).
+"""
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+
+import jax.numpy as jnp
+
+from pgmpy_tpu.base.dag import DAG
+from pgmpy_tpu.factors.continuous import LinearGaussianCPD
+
+
+class LinearGaussianBayesianNetwork(DAG):
+    def __init__(self, ebunch=None, latents=[], lavaan_str=None, dagitty_str=None):
+        super().__init__(ebunch, latents, lavaan_str, dagitty_str)
+        self.cpds = []
+
+    def add_cpds(self, *cpds):
+        for cpd in cpds:
+            if not isinstance(cpd, LinearGaussianCPD):
+                raise ValueError("Only LinearGaussianCPD can be added.")
+            if set(cpd.scope()) - set(cpd.scope()).intersection(set(self.nodes())):
+                raise ValueError(f"CPD defined on variable not in the model: {cpd}")
+            for prev_cpd_index in range(len(self.cpds)):
+                if self.cpds[prev_cpd_index].variable == cpd.variable:
+                    self.cpds[prev_cpd_index] = cpd
+                    break
+            else:
+                self.cpds.append(cpd)
+
+    def get_cpds(self, node=None):
+        if node is not None:
+            if node not in self.nodes():
+                raise ValueError("Node not present in the Directed Graph")
+            for cpd in self.cpds:
+                if cpd.variable == node:
+                    return cpd
+            return None
+        return self.cpds
+
+    def remove_cpds(self, *cpds):
+        for cpd in cpds:
+            if isinstance(cpd, (str, int)):
+                cpd = self.get_cpds(cpd)
+            self.cpds.remove(cpd)
+
+    def check_model(self):
+        for node in self.nodes():
+            cpd = self.get_cpds(node=node)
+            if cpd is None:
+                raise ValueError(f"No CPD associated with {node}")
+            if set(cpd.evidence) != set(self.get_parents(node)):
+                raise ValueError(
+                    f"CPD associated with {node} doesn't have proper parents associated with it."
+                )
+        return True
+
+    def get_random_cpds(self, loc=0.0, scale=1.0, inplace=False, seed=None):
+        gen = np.random.default_rng(seed)
+        cpds = [
+            LinearGaussianCPD.get_random(
+                var, evidence=self.get_parents(var), loc=loc, scale=scale,
+                seed=int(gen.integers(2**31)),
+            )
+            for var in self.nodes()
+        ]
+        if inplace:
+            self.add_cpds(*cpds)
+            return self
+        return cpds
+
+    @staticmethod
+    def get_random(n_nodes=5, edge_prob=0.5, node_names=None, latents=False, loc=0.0, scale=1.0, seed=None):
+        dag = DAG.get_random(
+            n_nodes=n_nodes, edge_prob=edge_prob, node_names=node_names,
+            latents=latents, seed=seed,
+        )
+        lgbn = LinearGaussianBayesianNetwork(dag.edges(), latents=dag.latents)
+        lgbn.add_nodes_from(dag.nodes())
+        lgbn.get_random_cpds(loc=loc, scale=scale, inplace=True, seed=seed)
+        return lgbn
+
+    def to_joint_gaussian(self):
+        """Joint N(mu, Sigma) over a topological order of the variables.
+
+        mu = (I-B)^-T applied to intercepts; Sigma = (I-B)^-T Omega (I-B)^-1
+        with B the (topologically ordered) coefficient matrix and Omega the
+        diagonal of noise variances.
+        """
+        self.check_model()
+        variables = list(nx.topological_sort(self))
+        var_to_index = {var: i for i, var in enumerate(variables)}
+        n = len(variables)
+        B = np.zeros((n, n))
+        omega = np.zeros(n)
+        b0 = np.zeros(n)
+        for cpd in self.cpds:
+            i = var_to_index[cpd.variable]
+            b0[i] = cpd.beta[0]
+            omega[i] = cpd.std**2
+            for coef, parent in zip(cpd.beta[1:], cpd.evidence):
+                B[var_to_index[parent], i] = coef
+
+        inv = jnp.linalg.inv(jnp.eye(n) - jnp.asarray(B))
+        mean = jnp.asarray(b0) @ inv
+        cov = inv.T @ jnp.diag(jnp.asarray(omega)) @ inv
+        return variables, np.asarray(mean, dtype=np.float64), np.asarray(cov, dtype=np.float64)
+
+    def log_likelihood(self, data):
+        """Sum over rows of log N(x; mu, Sigma)."""
+        variables, mean, cov = self.to_joint_gaussian()
+        x = jnp.asarray(data.loc[:, variables].to_numpy(dtype=np.float64))
+        n = len(variables)
+        diff = x - mean
+        chol = jnp.linalg.cholesky(jnp.asarray(cov))
+        sol = jnp.linalg.solve(chol, diff.T)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diag(chol)))
+        ll = -0.5 * (
+            n * np.log(2 * np.pi) + logdet + jnp.sum(sol**2, axis=0)
+        )
+        return float(jnp.sum(ll))
+
+    def simulate(self, n_samples=1000, seed=None):
+        """Draw joint-normal samples; returns a DataFrame."""
+        variables, mean, cov = self.to_joint_gaussian()
+        rng = np.random.default_rng(seed)
+        samples = rng.multivariate_normal(mean, cov, size=int(n_samples))
+        return pd.DataFrame(samples, columns=variables)
+
+    def fit(self, data, method="mle"):
+        """Node-wise MLE: per-node linear regression of the variable on its
+        parents (jnp least squares)."""
+        cpds = []
+        for var in self.nodes():
+            parents = self.get_parents(var)
+            y = jnp.asarray(data[var].to_numpy(dtype=np.float64))
+            if parents:
+                X = jnp.concatenate(
+                    [
+                        jnp.ones((len(data), 1)),
+                        jnp.asarray(data.loc[:, parents].to_numpy(dtype=np.float64)),
+                    ],
+                    axis=1,
+                )
+                beta, _, _, _ = jnp.linalg.lstsq(X, y)
+                resid = y - X @ beta
+                std = float(jnp.sqrt(jnp.mean(resid**2)))
+                cpds.append(
+                    LinearGaussianCPD(var, np.asarray(beta), max(std, 1e-9), evidence=parents)
+                )
+            else:
+                mu = float(jnp.mean(y))
+                std = float(jnp.std(y))
+                cpds.append(LinearGaussianCPD(var, [mu], max(std, 1e-9)))
+        self.add_cpds(*cpds)
+        return self
+
+    def predict(self, data, distribution="joint"):
+        """Gaussian conditioning: for missing variables a, observed b:
+        mu_a + Sigma_ab Sigma_bb^-1 (x_b - mu_b).
+
+        Returns (variable list, mean matrix, covariance) like the reference.
+        """
+        variables, mean, cov = self.to_joint_gaussian()
+        missing = [v for v in variables if v not in data.columns]
+        if not missing:
+            raise ValueError("No variable missing in data. Nothing to predict")
+        observed = [v for v in variables if v in data.columns]
+        idx_a = [variables.index(v) for v in missing]
+        idx_b = [variables.index(v) for v in observed]
+        mu_a = mean[idx_a]
+        mu_b = mean[idx_b]
+        sigma_aa = cov[np.ix_(idx_a, idx_a)]
+        sigma_ab = cov[np.ix_(idx_a, idx_b)]
+        sigma_bb = cov[np.ix_(idx_b, idx_b)]
+
+        x_b = data.loc[:, observed].to_numpy(dtype=np.float64)
+        K = np.asarray(jnp.linalg.solve(jnp.asarray(sigma_bb), jnp.asarray(sigma_ab.T)))
+        cond_mean = mu_a + (x_b - mu_b) @ K
+        cond_cov = sigma_aa - sigma_ab @ K
+        return missing, cond_mean, cond_cov
+
+    def copy(self):
+        model = LinearGaussianBayesianNetwork()
+        model.add_nodes_from(self.nodes())
+        model.add_edges_from(self.edges())
+        if self.cpds:
+            model.add_cpds(*[cpd.copy() for cpd in self.cpds])
+        model.latents = set(self.latents)
+        return model
+
+    def get_cardinality(self, node=None):
+        raise ValueError("Cardinality is not defined for continuous variables.")
+
+    def to_markov_model(self):
+        raise NotImplementedError(
+            "to_markov_model method has not been implemented for LinearGaussianBayesianNetwork."
+        )
+
+    def is_imap(self, JPD):
+        raise NotImplementedError(
+            "is_imap method has not been implemented for LinearGaussianBayesianNetwork."
+        )
