@@ -1,0 +1,177 @@
+"""ExpectationMaximization for latent-variable parameter learning.
+
+Reference: ``/root/reference/pgmpy/estimators/EM.py:22-410`` expands each
+unique row against every latent-state combination with joblib workers.
+TPU design: the expansion is a single device tensor — data codes tiled over
+the latent-state grid; the E-step is one jitted log-prob gather over all
+nodes + softmax over the latent grid; the M-step reuses the weighted count
+kernel.  Convergence by max CPD delta.
+"""
+
+import itertools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pgmpy_tpu.config import config, logger
+from pgmpy_tpu.estimators.base import _CodedData, ParameterEstimator
+from pgmpy_tpu.factors.cpd import TabularCPD
+
+
+class ExpectationMaximization(ParameterEstimator):
+    def __init__(self, model, data, **kwargs):
+        from pgmpy_tpu.models.discrete_bn import DiscreteBayesianNetwork
+
+        if not isinstance(model, DiscreteBayesianNetwork):
+            raise NotImplementedError(
+                "Expectation Maximization is only implemented for DiscreteBayesianNetwork"
+            )
+        self.model_ = model
+        self.model = model
+        self.data_orig = data
+        observed = [c for c in data.columns if c != "_weight"]
+        missing_model_vars = set(model.nodes()) - set(observed)
+        if missing_model_vars - set(model.latents):
+            raise ValueError(
+                f"Columns missing for non-latent variables: {missing_model_vars - set(model.latents)}"
+            )
+        # BaseEstimator over the observed columns only
+        from pgmpy_tpu.estimators.base import BaseEstimator
+
+        BaseEstimator.__init__(self, data, state_names=kwargs.get("state_names"))
+
+    def get_parameters(
+        self,
+        latent_card=None,
+        max_iter=100,
+        atol=1e-08,
+        n_jobs=1,
+        seed=None,
+        init_cpds=None,
+        show_progress=True,
+    ):
+        model = self.model_
+        latents = sorted(model.latents, key=str)
+        if latent_card is None:
+            latent_card = {var: 2 for var in latents}
+        observed_vars = [v for v in self.variables]
+
+        # state names for latents
+        state_names = dict(self.state_names)
+        for var in latents:
+            state_names[var] = list(range(latent_card[var]))
+        cards = {v: len(state_names[v]) for v in state_names}
+
+        # initialize CPDs (random unless provided)
+        rng = np.random.default_rng(seed)
+        cpds = {}
+        for var in sorted(model.nodes(), key=str):
+            parents = sorted(model.get_parents(var), key=str)
+            if init_cpds and var in init_cpds:
+                cpds[var] = init_cpds[var]
+                continue
+            cpds[var] = TabularCPD.get_random(
+                var, evidence=parents or None,
+                cardinality={v: cards[v] for v in [var] + parents},
+                state_names={v: state_names[v] for v in [var] + parents},
+                seed=int(rng.integers(2**31)),
+            )
+
+        # expanded code matrix: (n * K, d_all) over all model vars
+        var_order = sorted(model.nodes(), key=str)
+        var_idx = {v: i for i, v in enumerate(var_order)}
+        n = self.data_orig.shape[0]
+        obs_codes = np.asarray(self._coded.codes)
+        combos = np.array(
+            list(itertools.product(*[range(cards[l]) for l in latents])), dtype=np.int32
+        )
+        K = combos.shape[0] if latents else 1
+        expanded = np.zeros((n * K, len(var_order)), dtype=np.int32)
+        for v in observed_vars:
+            if v in var_idx:
+                expanded[:, var_idx[v]] = np.repeat(
+                    obs_codes[:, self._coded.var_index[v]], K
+                )
+        for j, l in enumerate(latents):
+            expanded[:, var_idx[l]] = np.tile(combos[:, j], n)
+        expanded_j = jnp.asarray(expanded)
+
+        node_specs = []
+        for var in var_order:
+            parents = sorted(model.get_parents(var), key=str)
+            node_specs.append(
+                (
+                    var_idx[var],
+                    tuple(var_idx[p] for p in parents),
+                    tuple(cards[p] for p in parents),
+                )
+            )
+
+        def log_prob(codes, tables):
+            lp = jnp.zeros(codes.shape[0], dtype=config.DTYPE)
+            for (vi, p_idx, p_cards), table in zip(node_specs, tables):
+                flat = jnp.zeros(codes.shape[0], dtype=jnp.int32)
+                for pj, pc in zip(p_idx, p_cards):
+                    flat = flat * pc + codes[:, pj]
+                lp = lp + jnp.log(
+                    jnp.maximum(table[flat, codes[:, vi]], 1e-38)
+                )
+            return lp
+
+        @jax.jit
+        def e_step(tables):
+            lp = log_prob(expanded_j, tables)  # (n*K,)
+            lp = lp.reshape(n, K)
+            w = jax.nn.softmax(lp, axis=1)
+            return w.reshape(-1)
+
+        coded_all = _CodedData.__new__(_CodedData)
+        coded_all.variables = var_order
+        coded_all.n = n * K
+        coded_all.state_names = {v: state_names[v] for v in var_order}
+        coded_all.codes = expanded_j
+        coded_all.var_index = var_idx
+        coded_all.cards = {v: cards[v] for v in var_order}
+        coded_all.weights = None
+
+        for iteration in range(int(max_iter)):
+            tables = [
+                jnp.asarray(np.asarray(cpds[var].get_values(), dtype=np.float64).T, dtype=config.DTYPE)
+                for var in var_order
+            ]
+            weights = e_step(tables)
+
+            specs = [
+                (var, sorted(model.get_parents(var), key=str)) for var in var_order
+            ]
+            tables = coded_all.multi_counts(specs, weights=weights)
+            new_cpds = {}
+            max_diff = 0.0
+            for (var, parents), counts in zip(specs, tables):
+                counts = counts.astype(np.float64)
+                zero_cols = counts.sum(axis=0) == 0
+                counts[:, zero_cols] = 1.0
+                cpd = TabularCPD(
+                    var,
+                    cards[var],
+                    counts,
+                    evidence=parents or None,
+                    evidence_card=[cards[p] for p in parents] or None,
+                    state_names={v: state_names[v] for v in [var] + parents},
+                )
+                cpd.normalize()
+                max_diff = max(
+                    max_diff,
+                    float(np.max(np.abs(cpd.get_values() - cpds[var].get_values()))),
+                )
+                new_cpds[var] = cpd
+            cpds = new_cpds
+            if max_diff < atol:
+                break
+        else:
+            logger.warning(
+                f"EM did not converge within {max_iter} iterations (last delta: {max_diff:.2e})"
+            )
+        return [cpds[var] for var in var_order]

@@ -1,0 +1,243 @@
+"""Decomposable structure scores (K2/BDeu/BDs/LL/BIC/AIC + Gaussian
+variants).
+
+Parity: ``/root/reference/pgmpy/estimators/StructureScore.py:15-1737``.
+Local scores are lgamma/log reductions over device-computed count tables
+(discrete) or lstsq residuals (Gaussian).
+"""
+
+import numpy as np
+from scipy.special import gammaln
+
+from pgmpy_tpu.estimators.base import StructureEstimator
+
+
+def get_scoring_method(scoring_method, data, use_cache=True):
+    scores = {
+        "k2": K2,
+        "bdeu": BDeu,
+        "bds": BDs,
+        "bic-d": BIC,
+        "bic": BIC,
+        "aic-d": AIC,
+        "aic": AIC,
+        "ll-g": LogLikelihoodGauss,
+        "bic-g": BICGauss,
+        "aic-g": AICGauss,
+        "loglikelihood": LogLikeliHood,
+    }
+    if isinstance(scoring_method, str):
+        key = scoring_method.lower()
+        if key not in scores:
+            raise ValueError(
+                f"Unknown scoring method: {scoring_method}. Options: {sorted(scores)}"
+            )
+        scorer = scores[key](data)
+    elif isinstance(scoring_method, StructureScore):
+        scorer = scoring_method
+    else:
+        raise ValueError(
+            "scoring_method should either be a string or an instance of StructureScore"
+        )
+    if use_cache:
+        return scorer, ScoreCache(scorer, data)
+    return scorer, scorer
+
+
+class StructureScore(StructureEstimator):
+    def __init__(self, data=None, **kwargs):
+        super().__init__(data, **kwargs)
+
+    def score(self, model):
+        """Sum of local scores + structure prior."""
+        score = 0
+        for node in model.nodes():
+            score += self.local_score(node, list(model.predecessors(node)))
+        score += self.structure_prior(model)
+        return score
+
+    def structure_prior(self, model):
+        return 0
+
+    def structure_prior_ratio(self, operation):
+        return 0
+
+    def local_score(self, variable, parents):
+        raise NotImplementedError
+
+
+class K2(StructureScore):
+    def local_score(self, variable, parents):
+        counts = self._coded.counts(variable, list(parents)).astype(np.float64)
+        var_card = counts.shape[0]
+        counts_with_alpha = counts + 1.0
+        col_sums = counts_with_alpha.sum(axis=0)
+        score = float(
+            np.sum(gammaln(counts_with_alpha)) - np.sum(gammaln(col_sums))
+        )
+        score += counts.shape[1] * float(gammaln(var_card))
+        return score
+
+
+class BDeu(StructureScore):
+    def __init__(self, data=None, equivalent_sample_size=10, **kwargs):
+        self.equivalent_sample_size = equivalent_sample_size
+        super().__init__(data, **kwargs)
+
+    def local_score(self, variable, parents):
+        counts = self._coded.counts(variable, list(parents)).astype(np.float64)
+        var_card, n_configs = counts.shape
+        alpha = self.equivalent_sample_size / n_configs
+        beta = self.equivalent_sample_size / counts.size
+        col_sums = counts.sum(axis=0)
+        score = float(
+            np.sum(gammaln(counts + beta))
+            - n_configs * var_card * gammaln(beta)
+            + n_configs * gammaln(alpha)
+            - np.sum(gammaln(col_sums + alpha))
+        )
+        return score
+
+
+class BDs(BDeu):
+    """BDeu with prior spread only over *observed* parent configurations."""
+
+    def structure_prior_ratio(self, operation):
+        nodes_num = len(self.variables)
+        if operation == "+":
+            return -np.log(nodes_num - 1)
+        if operation == "-":
+            return np.log(nodes_num - 1)
+        return 0
+
+    def structure_prior(self, model):
+        nedges = float(len(model.edges()))
+        nodes_num = len(model.nodes())
+        return -(nedges + float(nodes_num) * (float(nodes_num) - 1) / 2) * np.log(
+            nodes_num - 1
+        ) if nodes_num > 1 else 0
+
+    def local_score(self, variable, parents):
+        counts = self._coded.counts(variable, list(parents)).astype(np.float64)
+        var_card = counts.shape[0]
+        col_sums = counts.sum(axis=0)
+        observed = col_sums > 0
+        n_obs_configs = max(int(observed.sum()), 1)
+        alpha = self.equivalent_sample_size / n_obs_configs
+        beta = self.equivalent_sample_size / (n_obs_configs * var_card)
+        counts = counts[:, observed]
+        col_sums = col_sums[observed]
+        score = float(
+            np.sum(gammaln(counts + beta))
+            - counts.size * gammaln(beta)
+            + n_obs_configs * gammaln(alpha)
+            - np.sum(gammaln(col_sums + alpha))
+        )
+        return score
+
+
+class LogLikeliHood(StructureScore):
+    def local_score(self, variable, parents):
+        counts = self._coded.counts(variable, list(parents)).astype(np.float64)
+        col_sums = counts.sum(axis=0, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            log_ratio = np.where(
+                counts > 0, np.log(counts) - np.log(col_sums), 0.0
+            )
+        return float(np.sum(counts * log_ratio))
+
+
+class BIC(LogLikeliHood):
+    def local_score(self, variable, parents):
+        counts = self._coded.counts(variable, list(parents)).astype(np.float64)
+        sample_size = counts.sum()
+        var_card, n_configs = counts.shape
+        ll = LogLikeliHood.local_score(self, variable, parents)
+        num_params = n_configs * (var_card - 1)
+        return ll - 0.5 * np.log(max(sample_size, 1)) * num_params
+
+
+class AIC(LogLikeliHood):
+    def local_score(self, variable, parents):
+        counts = self._coded.counts(variable, list(parents)).astype(np.float64)
+        var_card, n_configs = counts.shape
+        ll = LogLikeliHood.local_score(self, variable, parents)
+        num_params = n_configs * (var_card - 1)
+        return ll - num_params
+
+
+# deprecated alias used by the reference
+BicScore = BIC
+AicScore = AIC
+K2Score = K2
+BDeuScore = BDeu
+BDsScore = BDs
+
+
+class _GaussBase(StructureScore):
+    """Gaussian local scores from linear-regression residuals (jnp lstsq)."""
+
+    def _residual_ll(self, variable, parents):
+        import jax.numpy as jnp
+
+        y = self.data[variable].to_numpy(dtype=np.float64)
+        n = y.shape[0]
+        if parents:
+            X = np.column_stack(
+                [np.ones(n)] + [self.data[p].to_numpy(dtype=np.float64) for p in parents]
+            )
+            beta, _, _, _ = jnp.linalg.lstsq(jnp.asarray(X), jnp.asarray(y))
+            resid = y - X @ np.asarray(beta)
+        else:
+            resid = y - y.mean()
+        sigma2 = max(float(np.mean(resid**2)), 1e-12)
+        ll = -0.5 * n * (np.log(2 * np.pi * sigma2) + 1)
+        k = len(parents) + 2  # intercept + coefficients + variance
+        return ll, k, n
+
+
+class LogLikelihoodGauss(_GaussBase):
+    def local_score(self, variable, parents):
+        ll, _, _ = self._residual_ll(variable, list(parents))
+        return ll
+
+
+class BICGauss(_GaussBase):
+    def local_score(self, variable, parents):
+        ll, k, n = self._residual_ll(variable, list(parents))
+        return ll - 0.5 * k * np.log(max(n, 1))
+
+
+class AICGauss(_GaussBase):
+    def local_score(self, variable, parents):
+        ll, k, n = self._residual_ll(variable, list(parents))
+        return ll - k
+
+
+class ScoreCache(StructureScore):
+    """LRU cache over (variable, parents) local scores
+    (reference: ``estimators/ScoreCache.py:18-124``)."""
+
+    def __init__(self, base_scorer, data, max_size=10000, **kwargs):
+        if not isinstance(base_scorer, StructureScore):
+            raise TypeError("base_scorer must be an instance of StructureScore")
+        self.base_scorer = base_scorer
+        self.max_size = max_size
+        self._cache = {}
+        super().__init__(data, **kwargs)
+
+    def local_score(self, variable, parents):
+        key = (variable, tuple(sorted(parents, key=str)))
+        if key in self._cache:
+            return self._cache[key]
+        score = self.base_scorer.local_score(variable, list(parents))
+        if len(self._cache) >= self.max_size:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[key] = score
+        return score
+
+    def structure_prior(self, model):
+        return self.base_scorer.structure_prior(model)
+
+    def structure_prior_ratio(self, operation):
+        return self.base_scorer.structure_prior_ratio(operation)

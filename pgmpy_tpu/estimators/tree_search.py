@@ -1,0 +1,104 @@
+"""TreeSearch: Chow-Liu and TAN tree structure learning.
+
+Parity: ``/root/reference/pgmpy/estimators/TreeSearch.py:21-402``.  The
+pairwise mutual-information matrix is computed from device count tables
+(one bincount per pair) instead of the reference's joblib-parallel sklearn
+calls.
+"""
+
+import itertools
+
+import networkx as nx
+import numpy as np
+
+from pgmpy_tpu.base.dag import DAG
+from pgmpy_tpu.estimators.base import StructureEstimator
+
+
+def _mutual_info(counts):
+    """MI in nats from a 2-D contingency table."""
+    n = counts.sum()
+    if n == 0:
+        return 0.0
+    pxy = counts / n
+    px = pxy.sum(axis=1, keepdims=True)
+    py = pxy.sum(axis=0, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = np.where(pxy > 0, pxy * (np.log(pxy) - np.log(px) - np.log(py)), 0.0)
+    return float(terms.sum())
+
+
+class TreeSearch(StructureEstimator):
+    def __init__(self, data, root_node=None, n_jobs=-1, **kwargs):
+        super().__init__(data, **kwargs)
+        if root_node is not None and root_node not in self.variables:
+            raise ValueError(f"Root node: {root_node} not found in data")
+        self.root_node = root_node
+
+    def _mi_matrix(self, variables, condition=None):
+        d = len(variables)
+        mi = np.zeros((d, d))
+        for i, j in itertools.combinations(range(d), 2):
+            if condition is None:
+                counts = self._coded.counts(variables[i], [variables[j]])
+                mi[i, j] = mi[j, i] = _mutual_info(counts)
+            else:
+                # conditional MI given the class variable
+                counts = self._coded.counts(
+                    variables[i], [variables[j], condition]
+                )
+                cx = counts.shape[0]
+                cy = len(self.state_names[variables[j]])
+                cz = len(self.state_names[condition])
+                t = counts.reshape(cx, cy, cz)
+                total = t.sum()
+                val = 0.0
+                for k in range(cz):
+                    sub = t[:, :, k]
+                    nz = sub.sum()
+                    if nz > 0 and total > 0:
+                        val += (nz / total) * _mutual_info(sub)
+                mi[i, j] = mi[j, i] = val
+        return mi
+
+    def estimate(
+        self, estimator_type="chow-liu", class_node=None, edge_weights_fn="mutual_info",
+        n_jobs=-1, weight_fn=None, show_progress=True,
+    ):
+        if estimator_type not in ("chow-liu", "tan"):
+            raise ValueError(f"estimator_type must be chow-liu or tan. Got: {estimator_type}")
+
+        if estimator_type == "chow-liu":
+            variables = list(self.variables)
+            mi = self._mi_matrix(variables)
+            graph = nx.Graph()
+            graph.add_nodes_from(variables)
+            for i, j in itertools.combinations(range(len(variables)), 2):
+                graph.add_edge(variables[i], variables[j], weight=-mi[i, j])
+            tree = nx.minimum_spanning_tree(graph)
+            root = self.root_node or variables[0]
+            dag = DAG()
+            dag.add_nodes_from(variables)
+            dag.add_edges_from(nx.bfs_edges(tree, root))
+            return dag
+
+        # TAN: class node + Chow-Liu tree over features with conditional MI
+        if class_node is None:
+            raise ValueError("class_node must be specified for estimator_type='tan'")
+        if class_node not in self.variables:
+            raise ValueError(f"Class node: {class_node} not found in data")
+        features = [v for v in self.variables if v != class_node]
+        if self.root_node is not None and self.root_node == class_node:
+            raise ValueError("Root node must be different from class node")
+        mi = self._mi_matrix(features, condition=class_node)
+        graph = nx.Graph()
+        graph.add_nodes_from(features)
+        for i, j in itertools.combinations(range(len(features)), 2):
+            graph.add_edge(features[i], features[j], weight=-mi[i, j])
+        tree = nx.minimum_spanning_tree(graph)
+        root = self.root_node or features[0]
+        dag = DAG()
+        dag.add_nodes_from(features + [class_node])
+        dag.add_edges_from(nx.bfs_edges(tree, root))
+        dag.add_edges_from((class_node, f) for f in features)
+        return dag

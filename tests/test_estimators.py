@@ -1,0 +1,293 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from pgmpy_tpu.base import DAG
+from pgmpy_tpu.estimators import (
+    AIC,
+    BDeu,
+    BIC,
+    K2,
+    BayesianEstimator,
+    ExhaustiveSearch,
+    ExpectationMaximization,
+    ExpertKnowledge,
+    GES,
+    HillClimbSearch,
+    MaximumLikelihoodEstimator,
+    MmhcEstimator,
+    PC,
+    TreeSearch,
+    chi_square,
+    pearsonr,
+)
+from pgmpy_tpu.factors import TabularCPD
+from pgmpy_tpu.models import DiscreteBayesianNetwork
+
+
+def student_bn():
+    model = DiscreteBayesianNetwork(
+        [("diff", "grade"), ("intel", "grade"), ("grade", "letter"), ("intel", "SAT")]
+    )
+    model.add_cpds(
+        TabularCPD("diff", 2, [[0.6], [0.4]]),
+        TabularCPD("intel", 2, [[0.7], [0.3]]),
+        TabularCPD(
+            "grade", 3,
+            [[0.3, 0.05, 0.9, 0.5], [0.4, 0.25, 0.08, 0.3], [0.3, 0.7, 0.02, 0.2]],
+            evidence=["intel", "diff"], evidence_card=[2, 2],
+        ),
+        TabularCPD(
+            "letter", 2, [[0.1, 0.4, 0.99], [0.9, 0.6, 0.01]],
+            evidence=["grade"], evidence_card=[3],
+        ),
+        TabularCPD(
+            "SAT", 2, [[0.95, 0.2], [0.05, 0.8]],
+            evidence=["intel"], evidence_card=[2],
+        ),
+    )
+    return model
+
+
+class TestStateCounts:
+    def test_simple_counts(self):
+        data = pd.DataFrame(
+            {"A": ["a1", "a1", "a2"], "B": ["b1", "b2", "b1"], "C": ["c1", "c1", "c2"]}
+        )
+        from pgmpy_tpu.estimators import BaseEstimator
+
+        est = BaseEstimator(data)
+        np.testing.assert_array_equal(est.state_counts("A").values, [[2], [1]])
+        np.testing.assert_array_equal(
+            est.state_counts("C", parents=["A", "B"]).values,
+            [[1, 1, 0, 0], [0, 0, 1, 0]],
+        )
+
+    def test_nan_rows_dropped(self):
+        data = pd.DataFrame({"A": ["a1", np.nan, "a2"], "B": ["b1", "b2", "b1"]})
+        from pgmpy_tpu.estimators import BaseEstimator
+
+        est = BaseEstimator(data)
+        assert est.state_counts("A").values.sum() == 2
+
+
+class TestMLE:
+    def test_recovers_cpds(self):
+        model = student_bn()
+        df = model.simulate(n_samples=50000, seed=0, show_progress=False)
+        learned = DiscreteBayesianNetwork(model.edges())
+        learned.fit(df, estimator=MaximumLikelihoodEstimator)
+        for node in model.nodes():
+            got = learned.get_cpds(node)
+            exp = model.get_cpds(node)
+            # align parent order: reference/our MLE sorts parents
+            exp_factor = exp.to_factor()
+            got_factor = got.to_factor()
+            assert set(got_factor.variables) == set(exp_factor.variables)
+            perm_exp = exp_factor.marginalize([], inplace=False)
+            assert np.allclose(
+                np.asarray(got_factor.values),
+                np.transpose(
+                    np.asarray(exp_factor.values),
+                    [exp_factor.variables.index(v) for v in got_factor.variables],
+                ),
+                atol=0.03,
+            ), node
+
+    def test_missing_node_column_raises(self):
+        model = DiscreteBayesianNetwork([("a", "b")])
+        data = pd.DataFrame({"a": [0, 1]})
+        with pytest.raises(ValueError):
+            MaximumLikelihoodEstimator(model, data)
+
+    def test_unobserved_parent_config_uniform(self):
+        model = DiscreteBayesianNetwork([("a", "b")])
+        data = pd.DataFrame({"a": [0, 0, 0], "b": [0, 1, 0]})
+        # declare state 1 for a even though unobserved
+        est = MaximumLikelihoodEstimator(
+            model, data, state_names={"a": [0, 1], "b": [0, 1]}
+        )
+        cpd = est.estimate_cpd("b")
+        np.testing.assert_allclose(cpd.get_values()[:, 1], [0.5, 0.5])
+
+
+class TestBayesianEstimator:
+    def test_bdeu_prior_smooths(self):
+        model = DiscreteBayesianNetwork([("a", "b")])
+        data = pd.DataFrame({"a": [0] * 10, "b": [1] * 10})
+        est = BayesianEstimator(model, data, state_names={"a": [0, 1], "b": [0, 1]})
+        cpd = est.estimate_cpd("b", prior_type="BDeu", equivalent_sample_size=4)
+        vals = cpd.get_values()
+        assert 0 < vals[0, 0] < 0.5
+        np.testing.assert_allclose(vals.sum(axis=0), 1.0, rtol=1e-5)
+
+    def test_dirichlet_counts(self):
+        model = DiscreteBayesianNetwork([("a", "b")])
+        data = pd.DataFrame({"a": [0, 1], "b": [0, 1]})
+        est = BayesianEstimator(model, data)
+        cpd = est.estimate_cpd(
+            "b", prior_type="dirichlet", pseudo_counts=np.array([[9, 9], [9, 9]])
+        )
+        np.testing.assert_allclose(
+            cpd.get_values(), [[10 / 19, 9 / 19], [9 / 19, 10 / 19]], atol=1e-5
+        )
+
+    def test_fit_update(self):
+        model = student_bn()
+        df = model.simulate(n_samples=2000, seed=3, show_progress=False)
+        updated = model.copy()
+        updated.fit_update(df, n_prev_samples=2000)
+        assert updated.check_model()
+
+
+class TestEM:
+    def test_em_latent_recovery(self):
+        # observable mixture: latent binary z -> two noisy observations
+        rng = np.random.default_rng(0)
+        n = 4000
+        z = rng.random(n) < 0.4
+        x = np.where(z, rng.random(n) < 0.9, rng.random(n) < 0.1).astype(int)
+        y = np.where(z, rng.random(n) < 0.85, rng.random(n) < 0.15).astype(int)
+        data = pd.DataFrame({"x": x, "y": y})
+        model = DiscreteBayesianNetwork([("z", "x"), ("z", "y")], latents=["z"])
+        est = ExpectationMaximization(model, data)
+        cpds = est.get_parameters(seed=42, max_iter=60, atol=1e-4, show_progress=False)
+        cpd_x = [c for c in cpds if c.variable == "x"][0]
+        vals = cpd_x.get_values()
+        # up to label switching, one column should be ~0.9/0.1
+        spread = abs(vals[1, 0] - vals[1, 1])
+        assert spread > 0.5, vals
+
+
+class TestScores:
+    def test_k2_prefers_true_edge(self):
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, 2, 5000)
+        b = np.where(rng.random(5000) < 0.9, a, 1 - a)
+        data = pd.DataFrame({"a": a, "b": b})
+        k2 = K2(data)
+        with_edge = k2.local_score("b", ["a"]) + k2.local_score("a", [])
+        without = k2.local_score("b", []) + k2.local_score("a", [])
+        assert with_edge > without
+
+    def test_score_model_api(self):
+        data = pd.DataFrame(
+            np.random.default_rng(0).integers(0, 2, (500, 3)), columns=list("abc")
+        )
+        dag = DAG([("a", "b")])
+        dag.add_nodes_from("abc")
+        for cls in [K2, BDeu, BIC, AIC]:
+            score = cls(data).score(dag)
+            assert np.isfinite(score)
+
+
+class TestCITests:
+    def make_data(self, n=5000):
+        rng = np.random.default_rng(0)
+        z = rng.integers(0, 2, n)
+        x = np.where(rng.random(n) < 0.8, z, rng.integers(0, 2, n))
+        y = np.where(rng.random(n) < 0.8, z, rng.integers(0, 2, n))
+        w = rng.integers(0, 2, n)
+        return pd.DataFrame({"x": x, "y": y, "z": z, "w": w})
+
+    def test_chi_square_dependence(self):
+        data = self.make_data()
+        assert not chi_square("x", "y", [], data)       # marginally dependent
+        assert chi_square("x", "y", ["z"], data)        # independent given z
+        assert chi_square("x", "w", [], data)           # independent
+
+    def test_chi_square_statistic_form(self):
+        data = self.make_data()
+        chi, p, dof = chi_square("x", "y", [], data, boolean=False)
+        assert chi > 0 and 0 <= p <= 1 and dof >= 1
+
+    def test_pearsonr(self):
+        rng = np.random.default_rng(1)
+        z = rng.normal(size=3000)
+        x = z + rng.normal(size=3000) * 0.5
+        y = z + rng.normal(size=3000) * 0.5
+        data = pd.DataFrame({"x": x, "y": y, "z": z})
+        assert not pearsonr("x", "y", [], data)
+        assert pearsonr("x", "y", ["z"], data)
+
+
+class TestStructureLearning:
+    def chain_data(self, n=3000):
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, 2, n)
+        b = np.where(rng.random(n) < 0.85, a, 1 - a)
+        c = np.where(rng.random(n) < 0.85, b, 1 - b)
+        return pd.DataFrame({"a": a, "b": b, "c": c})
+
+    def test_pc_skeleton(self):
+        data = self.chain_data()
+        skel, sepsets = PC(data).build_skeleton(show_progress=False)
+        assert set(map(frozenset, skel.edges())) == {
+            frozenset(("a", "b")),
+            frozenset(("b", "c")),
+        }
+
+    def test_pc_oracle(self):
+        dag = DAG([("a", "b"), ("b", "c")])
+        pc = PC(independencies=dag.get_independencies())
+        learned = pc.estimate(ci_test="independence_match", return_type="dag", show_progress=False)
+        assert dag.is_iequivalent(learned)
+
+    def test_hill_climb_recovers_skeleton(self):
+        data = self.chain_data()
+        best = HillClimbSearch(data).estimate(
+            scoring_method="bic-d", show_progress=False
+        )
+        got = set(map(frozenset, best.edges()))
+        assert got == {frozenset(("a", "b")), frozenset(("b", "c"))}
+
+    def test_hill_climb_respects_blacklist(self):
+        data = self.chain_data()
+        best = HillClimbSearch(data).estimate(
+            scoring_method="bic-d",
+            black_list=[("a", "b"), ("b", "a")],
+            show_progress=False,
+        )
+        assert not best.has_edge("a", "b") and not best.has_edge("b", "a")
+
+    def test_ges(self):
+        data = self.chain_data()
+        best = GES(data).estimate(scoring_method="bic-d")
+        got = set(map(frozenset, best.edges()))
+        assert got == {frozenset(("a", "b")), frozenset(("b", "c"))}
+
+    def test_exhaustive(self):
+        data = self.chain_data(1000)
+        best = ExhaustiveSearch(data, scoring_method="k2").estimate()
+        got = set(map(frozenset, best.edges()))
+        assert got == {frozenset(("a", "b")), frozenset(("b", "c"))}
+
+    def test_tree_search_chow_liu(self):
+        data = self.chain_data()
+        tree = TreeSearch(data, root_node="a").estimate(estimator_type="chow-liu", show_progress=False)
+        assert set(map(frozenset, tree.edges())) == {
+            frozenset(("a", "b")),
+            frozenset(("b", "c")),
+        }
+
+    def test_tree_search_tan(self):
+        rng = np.random.default_rng(0)
+        n = 2000
+        cls = rng.integers(0, 2, n)
+        f1 = np.where(rng.random(n) < 0.8, cls, 1 - cls)
+        f2 = np.where(rng.random(n) < 0.8, f1, 1 - f1)
+        data = pd.DataFrame({"c": cls, "f1": f1, "f2": f2})
+        dag = TreeSearch(data).estimate(estimator_type="tan", class_node="c", show_progress=False)
+        assert dag.has_edge("c", "f1") and dag.has_edge("c", "f2")
+
+    def test_mmhc(self):
+        data = self.chain_data()
+        dag = MmhcEstimator(data).estimate()
+        got = set(map(frozenset, dag.edges()))
+        assert got <= {frozenset(("a", "b")), frozenset(("b", "c"))}
+
+    def test_expert_knowledge_temporal(self):
+        ek = ExpertKnowledge(temporal_order=[["a"], ["b"]])
+        assert ("b", "a") in ek.forbidden_edges
+        black, white = ek.limit_search_space(["a", "b"])
+        assert ("b", "a") in black
