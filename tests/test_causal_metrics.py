@@ -1,0 +1,208 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from pgmpy_tpu.base import DAG
+from pgmpy_tpu.factors import TabularCPD
+from pgmpy_tpu.identification import Adjustment, Frontdoor
+from pgmpy_tpu.inference import ApproxInference, CausalInference, VariableElimination
+from pgmpy_tpu.metrics import (
+    SHD,
+    BayesianModelProbability,
+    correlation_score,
+    fisher_c,
+    implied_cis,
+    log_likelihood_score,
+    structure_score,
+)
+from pgmpy_tpu.models import DiscreteBayesianNetwork
+
+
+def confounded_model():
+    """z -> x, z -> y, x -> y with z observed."""
+    model = DiscreteBayesianNetwork([("z", "x"), ("z", "y"), ("x", "y")])
+    model.add_cpds(
+        TabularCPD("z", 2, [[0.4], [0.6]]),
+        TabularCPD("x", 2, [[0.8, 0.3], [0.2, 0.7]], evidence=["z"], evidence_card=[2]),
+        TabularCPD(
+            "y", 2,
+            [[0.9, 0.5, 0.6, 0.1], [0.1, 0.5, 0.4, 0.9]],
+            evidence=["x", "z"], evidence_card=[2, 2],
+        ),
+    )
+    return model
+
+
+class TestBackdoorFrontdoor:
+    def test_backdoor_set(self):
+        ci = CausalInference(confounded_model())
+        assert ci.is_valid_backdoor_adjustment_set("x", "y", ["z"])
+        assert not ci.is_valid_backdoor_adjustment_set("x", "y", [])
+        assert frozenset(["z"]) in ci.get_all_backdoor_adjustment_sets("x", "y")
+
+    def test_frontdoor_classic(self):
+        # smoking -> tar -> cancer with latent confounder u
+        dag = DAG(
+            [("u", "smoking"), ("u", "cancer"), ("smoking", "tar"), ("tar", "cancer")],
+            latents=["u"],
+        )
+        ci = CausalInference(dag)
+        assert ci.is_valid_frontdoor_adjustment_set("smoking", "cancer", ["tar"])
+        assert frozenset(["tar"]) in ci.get_all_frontdoor_adjustment_sets("smoking", "cancer")
+        assert not ci.get_all_backdoor_adjustment_sets("smoking", "cancer")
+
+    def test_minimal_adjustment_set(self):
+        ci = CausalInference(confounded_model())
+        assert ci.get_minimal_adjustment_set("x", "y") == {"z"}
+
+    def test_proper_backdoor_graph(self):
+        ci = CausalInference(confounded_model())
+        pbg = ci.get_proper_backdoor_graph(["x"], ["y"])
+        assert not pbg.has_edge("x", "y")
+        assert pbg.has_edge("z", "y")
+
+    def test_ivs(self):
+        dag = DAG([("i", "x"), ("u", "x"), ("u", "y"), ("x", "y")], latents=["u"])
+        ci = CausalInference(dag)
+        assert ci.get_ivs("x", "y") == {"i"}
+
+    def test_identification_method(self):
+        ci = CausalInference(confounded_model())
+        out = ci.identification_method("x", "y")
+        assert out["method"] == "backdoor"
+
+
+class TestCausalQuery:
+    def test_adjustment_query_matches_truncated_formula(self):
+        model = confounded_model()
+        ci = CausalInference(model)
+        result = ci.query(["y"], do={"x": 1}, show_progress=False)
+        # ground truth: P(y | do(x=1)) = sum_z P(y | x=1, z) P(z)
+        pz = np.array([0.4, 0.6])
+        # P(y | x=1, z): CPD columns are (x, z) with z fastest -> cols 2, 3
+        py_given = np.array([[0.6, 0.1], [0.4, 0.9]])  # rows y, cols z
+        truth = py_given @ pz
+        np.testing.assert_allclose(np.asarray(result.values), truth, atol=1e-5)
+
+    def test_do_on_root_equals_conditioning(self):
+        model = confounded_model()
+        ci = CausalInference(model)
+        res_do = ci.query(["x"], do={"z": 0}, show_progress=False)
+        res_cond = VariableElimination(model).query(["x"], evidence={"z": 0}, show_progress=False)
+        assert res_do == res_cond
+
+    def test_no_do_regular_query(self):
+        model = confounded_model()
+        ci = CausalInference(model)
+        res = ci.query(["y"], evidence={"x": 0}, show_progress=False)
+        expected = VariableElimination(model).query(["y"], evidence={"x": 0}, show_progress=False)
+        assert res == expected
+
+    def test_estimate_ate_linear(self):
+        rng = np.random.default_rng(0)
+        n = 20000
+        z = rng.normal(size=n)
+        x = 0.8 * z + rng.normal(size=n) * 0.5
+        y = 2.0 * x + 1.5 * z + rng.normal(size=n) * 0.5
+        data = pd.DataFrame({"x": x, "y": y, "z": z})
+        dag = DAG([("z", "x"), ("z", "y"), ("x", "y")])
+        ate = CausalInference(dag).estimate_ate("x", "y", data)
+        assert ate == pytest.approx(2.0, abs=0.05)
+
+
+class TestIdentification:
+    def test_adjustment_strategy(self):
+        dag = DAG([("z", "x"), ("z", "y"), ("x", "y")])
+        dag = dag.with_role("exposure", ["x"]).with_role("outcome", ["y"])
+        adj = Adjustment(variant="minimal")
+        out = adj.identify(dag)
+        assert out["adjustment_sets"] == [{"z"}]
+        assert adj.validate(dag)
+
+    def test_frontdoor_strategy(self):
+        dag = DAG(
+            [("u", "s"), ("u", "c"), ("s", "t"), ("t", "c")], latents=["u"]
+        )
+        dag = dag.with_role("exposure", ["s"]).with_role("outcome", ["c"])
+        out = Frontdoor().identify(dag)
+        assert frozenset(["t"]) in set(map(frozenset, out["frontdoor_sets"]))
+
+    def test_missing_roles_raises(self):
+        dag = DAG([("a", "b")])
+        with pytest.raises(ValueError):
+            Adjustment().identify(dag)
+
+
+class TestMetrics:
+    def test_log_likelihood_score(self):
+        model = confounded_model()
+        df = model.simulate(n_samples=2000, seed=0, show_progress=False)
+        ll = log_likelihood_score(model, df)
+        # cross-check against factor-product computation on a subsample
+        bmp = BayesianModelProbability(model)
+        lp = bmp.log_probability(df.iloc[:5])
+        from pgmpy_tpu.factors import factor_product
+
+        joint = factor_product(*[c.to_factor() for c in model.get_cpds()])
+        for k in range(5):
+            expected = np.log(
+                joint.get_value(**{v: df.iloc[k][v] for v in model.nodes()})
+            )
+            assert lp[k] == pytest.approx(expected, rel=1e-4)
+        assert ll < 0
+
+    def test_structure_score_prefers_truth(self):
+        model = confounded_model()
+        df = model.simulate(n_samples=5000, seed=1, show_progress=False)
+        true_score = structure_score(model, df, scoring_method="bic-d")
+        wrong = DAG([("x", "z"), ("y", "z")])
+        wrong_score = structure_score(wrong, df, scoring_method="bic-d")
+        assert true_score > wrong_score
+
+    def test_shd(self):
+        d1 = DAG([("a", "b"), ("b", "c")])
+        d2 = DAG([("b", "a"), ("b", "c")])
+        d2.add_nodes_from(d1.nodes())
+        assert SHD(d1, d2) == 1
+        d3 = DAG([("a", "b")])
+        d3.add_nodes_from(d1.nodes())
+        assert SHD(d1, d3) == 1
+
+    def test_correlation_score(self):
+        model = confounded_model()
+        df = model.simulate(n_samples=4000, seed=2, show_progress=False)
+        score = correlation_score(model, df, test="chi_square")
+        assert score > 0.7
+
+    def test_fisher_c(self):
+        model = DiscreteBayesianNetwork([("a", "b"), ("b", "c")])
+        model.add_cpds(
+            TabularCPD("a", 2, [[0.5], [0.5]]),
+            TabularCPD("b", 2, [[0.8, 0.2], [0.2, 0.8]], evidence=["a"], evidence_card=[2]),
+            TabularCPD("c", 2, [[0.7, 0.3], [0.3, 0.7]], evidence=["b"], evidence_card=[2]),
+        )
+        df = model.simulate(n_samples=4000, seed=3, show_progress=False)
+        out = fisher_c(model, df, ci_test="chi_square", show_progress=False)
+        assert out["p_value"] > 0.01  # the true model should fit
+
+
+class TestApproxInference:
+    def test_matches_exact(self):
+        model = confounded_model()
+        approx = ApproxInference(model)
+        res = approx.query(["y"], n_samples=40000, seed=0, show_progress=False)
+        exact = VariableElimination(model).query(["y"], show_progress=False)
+        np.testing.assert_allclose(
+            np.asarray(res.values), np.asarray(exact.values), atol=0.02
+        )
+
+    def test_with_evidence(self):
+        model = confounded_model()
+        approx = ApproxInference(model)
+        res = approx.query(
+            ["y"], evidence={"x": 0}, n_samples=30000, seed=0, show_progress=False
+        )
+        exact = VariableElimination(model).query(["y"], evidence={"x": 0}, show_progress=False)
+        np.testing.assert_allclose(
+            np.asarray(res.values), np.asarray(exact.values), atol=0.03
+        )
