@@ -13,6 +13,8 @@ from pgmpy_tpu.factors.factor_set import (
 )
 from pgmpy_tpu.factors.jpd import JointProbabilityDistribution
 from pgmpy_tpu.factors.continuous import LinearGaussianCPD
+from pgmpy_tpu.factors.noisy_or import NoisyORCPD
+from pgmpy_tpu.factors.hybrid import FunctionalCPD
 
 __all__ = [
     "DiscreteFactor",
@@ -27,4 +29,6 @@ __all__ = [
     "factorset_divide",
     "JointProbabilityDistribution",
     "LinearGaussianCPD",
+    "NoisyORCPD",
+    "FunctionalCPD",
 ]

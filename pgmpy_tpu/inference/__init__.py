@@ -42,4 +42,8 @@ def __getattr__(name):
         from pgmpy_tpu.inference.mplp import Mplp
 
         return Mplp
+    if name == "LinearEstimator":
+        from pgmpy_tpu.inference.linear_model import LinearEstimator
+
+        return LinearEstimator
     raise AttributeError(name)

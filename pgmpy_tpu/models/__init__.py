@@ -7,6 +7,8 @@ from pgmpy_tpu.models.markov_chain import MarkovChain
 from pgmpy_tpu.models.naive_bayes import NaiveBayes
 from pgmpy_tpu.models.linear_gaussian_bn import LinearGaussianBayesianNetwork
 from pgmpy_tpu.models.dynamic_bn import DynamicBayesianNetwork, DynamicNode
+from pgmpy_tpu.models.sem import SEM, SEMGraph, SEMAlg
+from pgmpy_tpu.models.functional_bn import FunctionalBayesianNetwork
 
 # deprecated aliases kept for API familiarity with the reference
 BayesianNetwork = DiscreteBayesianNetwork
@@ -23,6 +25,10 @@ __all__ = [
     "LinearGaussianBayesianNetwork",
     "DynamicBayesianNetwork",
     "DynamicNode",
+    "SEM",
+    "SEMGraph",
+    "SEMAlg",
+    "FunctionalBayesianNetwork",
     "BayesianNetwork",
     "MarkovNetwork",
 ]

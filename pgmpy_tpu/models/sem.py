@@ -1,0 +1,230 @@
+"""Structural equation models: SEMGraph / SEMAlg / SEM facade.
+
+Parity target: ``/root/reference/pgmpy/models/SEM.py:13-1212``.  The graph
+layer is host-side; fitting happens on device through the RAM matrix form
+(``estimators/sem_estimator.py``): implied covariance
+``F (I-B)^{-1} S (I-B)^{-T} F^T`` with F selecting observed variables.
+"""
+
+import networkx as nx
+import numpy as np
+
+from pgmpy_tpu.config import logger
+
+
+class SEMGraph:
+    """Causal graph + error-correlation graph + latent set."""
+
+    def __init__(self, ebunch=[], latents=[], err_corr=[], err_var={}):
+        self.graph = nx.DiGraph()
+        self.err_graph = nx.Graph()
+        self.latents = set(latents)
+
+        for edge in ebunch:
+            if len(edge) == 2:
+                self.graph.add_edge(edge[0], edge[1], weight=np.nan)
+            elif len(edge) == 3:
+                self.graph.add_edge(edge[0], edge[1], weight=edge[2])
+            else:
+                raise ValueError(f"Edges must be tuples of length 2 or 3. Got: {edge}")
+        self.err_graph.add_nodes_from(self.graph.nodes())
+        for edge in err_corr:
+            if len(edge) == 2:
+                self.err_graph.add_edge(edge[0], edge[1], weight=np.nan)
+            elif len(edge) == 3:
+                self.err_graph.add_edge(edge[0], edge[1], weight=edge[2])
+            else:
+                raise ValueError(f"err_corr must be tuples of length 2 or 3. Got: {edge}")
+        for node in self.graph.nodes():
+            self.err_graph.nodes[node]["weight"] = err_var.get(node, np.nan)
+
+        self.observed = set(self.graph.nodes()) - self.latents
+
+    @property
+    def nodes(self):
+        return self.graph.nodes
+
+    @property
+    def edges(self):
+        return self.graph.edges
+
+    def get_params(self):
+        """(fixed edge weights, free edge masks) for the RAM form."""
+        return {
+            "edges": dict(nx.get_edge_attributes(self.graph, "weight")),
+            "err_corr": dict(nx.get_edge_attributes(self.err_graph, "weight")),
+            "err_var": dict(nx.get_node_attributes(self.err_graph, "weight")),
+        }
+
+    def to_lisrel(self):
+        """RAM representation: (variables, B mask/fixed, S mask/fixed,
+        observed list)."""
+        variables = sorted(self.graph.nodes(), key=str)
+        idx = {v: i for i, v in enumerate(variables)}
+        n = len(variables)
+        B_mask = np.zeros((n, n), dtype=bool)
+        B_fixed = np.full((n, n), np.nan)
+        for u, v, data in self.graph.edges(data=True):
+            B_mask[idx[v], idx[u]] = True  # row = target, col = source
+            B_fixed[idx[v], idx[u]] = data.get("weight", np.nan)
+        S_mask = np.zeros((n, n), dtype=bool)
+        S_fixed = np.full((n, n), np.nan)
+        for v in variables:
+            S_mask[idx[v], idx[v]] = True
+            S_fixed[idx[v], idx[v]] = self.err_graph.nodes[v].get("weight", np.nan)
+        for u, v, data in self.err_graph.edges(data=True):
+            S_mask[idx[u], idx[v]] = S_mask[idx[v], idx[u]] = True
+            w = data.get("weight", np.nan)
+            S_fixed[idx[u], idx[v]] = S_fixed[idx[v], idx[u]] = w
+        observed = sorted(self.observed, key=str)
+        return SEMAlg(
+            variables=variables,
+            B_mask=B_mask,
+            B_fixed=B_fixed,
+            S_mask=S_mask,
+            S_fixed=S_fixed,
+            observed=observed,
+        )
+
+    def active_trail_nodes(self, variables, observed=None):
+        from pgmpy_tpu.base.dag import DAG
+
+        dag = DAG(list(self.graph.edges()))
+        dag.add_nodes_from(self.graph.nodes())
+        return dag.active_trail_nodes(variables, observed=observed)
+
+    def get_scaling_indicators(self):
+        """First observed child of each latent (for scale fixing)."""
+        indicators = {}
+        for latent in self.latents:
+            for child in sorted(self.graph.successors(latent), key=str):
+                if child in self.observed:
+                    indicators[latent] = child
+                    break
+        return indicators
+
+    def moralize(self, graph="graph"):
+        g = self.graph if graph == "graph" else self.err_graph
+        moral = nx.moral_graph(g) if g.is_directed() else g.copy()
+        return moral
+
+    def copy(self):
+        copy = SEMGraph(
+            ebunch=[
+                (u, v, d.get("weight", np.nan))
+                for u, v, d in self.graph.edges(data=True)
+            ],
+            latents=set(self.latents),
+            err_corr=[
+                (u, v, d.get("weight", np.nan))
+                for u, v, d in self.err_graph.edges(data=True)
+            ],
+            err_var=dict(nx.get_node_attributes(self.err_graph, "weight")),
+        )
+        return copy
+
+
+class SEMAlg:
+    """RAM matrix form: x = B x + e, cov(e) = S, observed = F x."""
+
+    def __init__(self, variables, B_mask, B_fixed, S_mask, S_fixed, observed):
+        self.variables = variables
+        self.B_mask = B_mask
+        self.B_fixed = B_fixed
+        self.S_mask = S_mask
+        self.S_fixed = S_fixed
+        self.observed = observed
+        idx = {v: i for i, v in enumerate(variables)}
+        self.F = np.zeros((len(observed), len(variables)))
+        for i, v in enumerate(observed):
+            self.F[i, idx[v]] = 1.0
+
+    def implied_covariance(self, B, S):
+        """F (I-B)^-1 S (I-B)^-T F^T for parameter matrices B, S."""
+        import jax.numpy as jnp
+
+        n = len(self.variables)
+        inv = jnp.linalg.inv(jnp.eye(n) - B)
+        full = inv @ S @ inv.T
+        F = jnp.asarray(self.F)
+        return F @ full @ F.T
+
+    def to_SEMGraph(self):
+        ebunch = []
+        n = len(self.variables)
+        for i in range(n):
+            for j in range(n):
+                if self.B_mask[i, j]:
+                    ebunch.append(
+                        (self.variables[j], self.variables[i], self.B_fixed[i, j])
+                    )
+        latents = set(self.variables) - set(self.observed)
+        return SEMGraph(ebunch=ebunch, latents=latents)
+
+
+class SEM(SEMGraph):
+    """User facade with alternate constructors."""
+
+    def __init__(self, syntax, **kwargs):
+        if syntax == "graph":
+            super().__init__(
+                ebunch=kwargs.get("ebunch", []),
+                latents=kwargs.get("latents", []),
+                err_corr=kwargs.get("err_corr", []),
+                err_var=kwargs.get("err_var", {}),
+            )
+        elif syntax == "lavaan":
+            from pgmpy_tpu.utils.parser import parse_lavaan
+
+            edges, latents = parse_lavaan(kwargs.get("string") or kwargs.get("lavaan_str"))
+            super().__init__(ebunch=edges, latents=latents)
+        elif syntax == "ram" or syntax == "lisrel":
+            alg = SEMAlg(
+                variables=kwargs["variables"],
+                B_mask=np.asarray(kwargs["B"]) != 0,
+                B_fixed=np.where(np.asarray(kwargs["B"]) != 0, np.nan, np.nan),
+                S_mask=np.asarray(kwargs["S"]) != 0,
+                S_fixed=np.where(np.asarray(kwargs["S"]) != 0, np.nan, np.nan),
+                observed=kwargs["observed"],
+            )
+            graph = alg.to_SEMGraph()
+            super().__init__(
+                ebunch=[(u, v) for u, v, _ in graph.graph.edges(data="weight")],
+                latents=graph.latents,
+            )
+        else:
+            raise ValueError(
+                f"syntax must be 'graph', 'lavaan', 'ram' or 'lisrel'. Got: {syntax}"
+            )
+
+    @classmethod
+    def from_graph(cls, ebunch, latents=[], err_corr=[], err_var={}):
+        return cls(
+            "graph", ebunch=ebunch, latents=latents, err_corr=err_corr, err_var=err_var
+        )
+
+    @classmethod
+    def from_lavaan(cls, string=None, filename=None):
+        if filename:
+            with open(filename) as f:
+                string = f.read()
+        return cls("lavaan", string=string)
+
+    @classmethod
+    def from_RAM(cls, variables, B, S, observed=None, **kwargs):
+        return cls(
+            "ram",
+            variables=variables,
+            B=B,
+            S=S,
+            observed=observed or variables,
+        )
+
+    @classmethod
+    def from_lisrel(cls, **kwargs):
+        return cls.from_RAM(**kwargs)
+
+    def fit(self, data, method="ml", **kwargs):
+        from pgmpy_tpu.estimators.sem_estimator import SEMEstimator
+
+        return SEMEstimator(self).fit(data, method=method, **kwargs)
