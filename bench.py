@@ -49,6 +49,31 @@ def main():
         times.append(time.time() - t0)
     steady = min(times)
 
+    # secondary metrics: ALARM VE query latency + forward-sampling throughput
+    secondary = {}
+    try:
+        from pgmpy_tpu.inference.ve import VariableElimination
+
+        alarm = get_example_model("alarm")
+        infer = VariableElimination(alarm)
+        infer.query(
+            ["HISTORY"], evidence={"CVP": "LOW", "HR": "HIGH"}, show_progress=False
+        )  # warm the compiled contraction
+        t0 = time.time()
+        n_q = 20
+        for _ in range(n_q):
+            infer.query(
+                ["HISTORY"], evidence={"CVP": "LOW", "HR": "HIGH"}, show_progress=False
+            )
+        secondary["alarm_ve_query_ms"] = round((time.time() - t0) / n_q * 1000, 2)
+
+        alarm.simulate(n_samples=100_000, seed=0, show_progress=False)  # warm
+        t0 = time.time()
+        alarm.simulate(n_samples=100_000, seed=1, show_progress=False)
+        secondary["alarm_forward_samples_per_s"] = int(100_000 / (time.time() - t0))
+    except Exception as e:  # secondary metrics must never fail the bench
+        secondary["error"] = str(e)[:200]
+
     result = {
         "metric": "munin_bp_calibration_wall_time",
         "value": round(steady, 4),
@@ -61,6 +86,7 @@ def main():
             "structure_compile_s": round(structure_s, 2),
             "first_calibrate_incl_xla_compile_s": round(first_s, 2),
             "baseline": "pgmpy-CPU calibrate() timed out at 3400s (lower bound)",
+            "secondary": secondary,
         },
     }
     print(json.dumps(result))

@@ -64,6 +64,12 @@ class TabularCPD(DiscreteFactor):
             raise ValueError(f"state_names must be of type dict. Got {type(state_names)}")
 
         super().__init__(variables, cardinality, values.flatten(), state_names=state_names)
+        # validity decided here while the values are still host-side numpy:
+        # check_model on large networks must not pay one device round-trip
+        # per CPD (minutes over a remote TPU link)
+        self._is_valid_cpd = bool(
+            np.allclose(values.astype(np.float64).sum(axis=0), 1.0, atol=0.01)
+        )
 
     def __repr__(self):
         evidence = self.variables[1:]
@@ -133,6 +139,7 @@ class TabularCPD(DiscreteFactor):
         vals = cpd.values
         col_sums = jnp.sum(vals, axis=0, keepdims=True)
         cpd.values = vals / col_sums
+        cpd._is_valid_cpd = True
         if not inplace:
             return cpd
 

@@ -295,6 +295,9 @@ class DiscreteFactor(StateNameMixin):
         return df
 
     def is_valid_cpd(self):
+        cached = self.__dict__.get("_is_valid_cpd")
+        if cached is not None:
+            return cached
         v = np.asarray(self.values, dtype=np.float64)
         marg = v.reshape(v.shape[0], -1).sum(axis=0)
         return bool(np.allclose(marg, 1.0, atol=0.01))

@@ -101,7 +101,15 @@ class DiscreteBayesianNetwork(DAG):
 
     def check_model(self):
         """Verify CPDs exist, parent sets match, columns normalize, and
-        state names agree across CPDs."""
+        state names agree across CPDs.
+
+        The numeric normalization check batches ALL CPD column sums into a
+        single device call — per-CPD host round-trips cost minutes on
+        MUNIN-scale networks over a remote TPU.
+        """
+        if self.__dict__.get("_checked_version") == getattr(self, "_version", 0):
+            return True
+        nodes_to_check = []
         for node in self.nodes():
             cpd = self.get_cpds(node=node)
             if cpd is None:
@@ -113,10 +121,6 @@ class DiscreteBayesianNetwork(DAG):
                     raise ValueError(
                         f"CPD associated with {node} doesn't have proper parents associated with it."
                     )
-                if not cpd.is_valid_cpd():
-                    raise ValueError(
-                        f"Sum or integral of conditional probabilities for node {node} is not equal to 1."
-                    )
                 for var in cpd.variables:
                     other = self.get_cpds(var)
                     if other is not None:
@@ -124,6 +128,16 @@ class DiscreteBayesianNetwork(DAG):
                             raise ValueError(
                                 f"The state names of {var} do not match across CPDs"
                             )
+                nodes_to_check.append(node)
+
+        # is_valid_cpd is cached at CPD construction (host-side numpy), so
+        # this loop costs no device round-trips
+        for node in nodes_to_check:
+            if not self.get_cpds(node).is_valid_cpd():
+                raise ValueError(
+                    f"Sum or integral of conditional probabilities for node {node} is not equal to 1."
+                )
+        self._checked_version = getattr(self, "_version", 0)
         return True
 
     def to_markov_model(self):

@@ -1,0 +1,175 @@
+"""PomdpX reader/writer (APPL POMDP interchange format).
+
+Parity: ``/root/reference/pgmpy/readwrite/PomdpX.py`` — table-type (TBL)
+parameters; output structures mirror the reference's dict shapes.
+"""
+
+from collections import defaultdict
+from xml.dom import minidom
+from xml.etree import ElementTree as etree
+
+
+class PomdpXReader:
+    def __init__(self, path=None, string=None):
+        if path is not None:
+            self.network = etree.ElementTree(file=path).getroot()
+        elif string is not None:
+            self.network = etree.fromstring(string)
+        else:
+            raise ValueError("Must specify either path or string")
+
+    def get_description(self):
+        el = self.network.find("Description")
+        return el.text.strip() if el is not None and el.text else ""
+
+    def get_discount(self):
+        return float(self.network.find("Discount").text)
+
+    def get_variables(self):
+        self.variables = defaultdict(list)
+        for variable in self.network.findall("Variable"):
+            for var in variable.findall("StateVar"):
+                state_variables = {
+                    "vnamePrev": var.get("vnamePrev"),
+                    "vnameCurr": var.get("vnameCurr"),
+                    "fullyObs": bool(var.get("fullyObs")),
+                    "ValueEnum": [],
+                }
+                if var.find("NumValues") is not None:
+                    state_variables["ValueEnum"] = [
+                        f"s{i}" for i in range(int(var.find("NumValues").text))
+                    ]
+                if var.find("ValueEnum") is not None:
+                    state_variables["ValueEnum"] = var.find("ValueEnum").text.split()
+                self.variables["StateVar"].append(state_variables)
+            for var in variable.findall("ObsVar"):
+                self.variables["ObsVar"].append(
+                    {
+                        "vname": var.get("vname"),
+                        "ValueEnum": var.find("ValueEnum").text.split(),
+                    }
+                )
+            for var in variable.findall("ActionVar"):
+                self.variables["ActionVar"].append(
+                    {
+                        "vname": var.get("vname"),
+                        "ValueEnum": var.find("ValueEnum").text.split(),
+                    }
+                )
+            for var in variable.findall("RewardVar"):
+                self.variables["RewardVar"].append({"vname": var.get("vname")})
+        return self.variables
+
+    def _get_cond_probs(self, section_tag, entry_tag="CondProb", table_tag="ProbTable"):
+        out = []
+        for section in self.network.findall(section_tag):
+            for var in section.findall(entry_tag):
+                cond = {
+                    "Var": var.find("Var").text,
+                    "Parent": var.find("Parent").text.split(),
+                    "Type": var.find("Parameter").get("type") or "TBL",
+                    "Parameter": [],
+                }
+                for entry in var.find("Parameter").findall("Entry"):
+                    instance = entry.find("Instance").text.split()
+                    table_el = entry.find(table_tag)
+                    if table_el is None:
+                        table_el = entry.find("ValueTable")
+                    cond["Parameter"].append(
+                        {
+                            "Instance": instance,
+                            table_el.tag: table_el.text.split(),
+                        }
+                    )
+                out.append(cond)
+        return out
+
+    def get_initial_beliefs(self):
+        return self._get_cond_probs("InitialStateBelief")
+
+    def get_state_transition_function(self):
+        return self._get_cond_probs("StateTransitionFunction")
+
+    def get_obs_function(self):
+        return self._get_cond_probs("ObsFunction")
+
+    def get_reward_function(self):
+        return self._get_cond_probs(
+            "RewardFunction", entry_tag="Func", table_tag="ValueTable"
+        )
+
+
+class PomdpXWriter:
+    def __init__(self, model_data, encoding="utf-8", prettyprint=True):
+        """``model_data``: dict with keys description, discount, variables,
+        initial_state_belief, state_transition_function, obs_function,
+        reward_function (shapes as produced by PomdpXReader)."""
+        self.model = model_data
+        self.encoding = encoding
+        self.prettyprint = prettyprint
+
+        self.xml = etree.Element("pomdpx", attrib={"version": "1.0", "id": "model"})
+        etree.SubElement(self.xml, "Description").text = self.model.get("description", "")
+        etree.SubElement(self.xml, "Discount").text = str(self.model.get("discount", 0.95))
+
+        variable = etree.SubElement(self.xml, "Variable")
+        variables = self.model.get("variables", {})
+        for var in variables.get("StateVar", []):
+            attrib = {"vnamePrev": var["vnamePrev"], "vnameCurr": var["vnameCurr"]}
+            if var.get("fullyObs"):
+                attrib["fullyObs"] = "true"
+            el = etree.SubElement(variable, "StateVar", attrib=attrib)
+            etree.SubElement(el, "ValueEnum").text = " ".join(var["ValueEnum"])
+        for var in variables.get("ObsVar", []):
+            el = etree.SubElement(variable, "ObsVar", attrib={"vname": var["vname"]})
+            etree.SubElement(el, "ValueEnum").text = " ".join(var["ValueEnum"])
+        for var in variables.get("ActionVar", []):
+            el = etree.SubElement(variable, "ActionVar", attrib={"vname": var["vname"]})
+            etree.SubElement(el, "ValueEnum").text = " ".join(var["ValueEnum"])
+        for var in variables.get("RewardVar", []):
+            etree.SubElement(variable, "RewardVar", attrib={"vname": var["vname"]})
+
+        self._write_section(
+            "InitialStateBelief", self.model.get("initial_state_belief", [])
+        )
+        self._write_section(
+            "StateTransitionFunction",
+            self.model.get("state_transition_function", []),
+        )
+        self._write_section("ObsFunction", self.model.get("obs_function", []))
+        self._write_section(
+            "RewardFunction",
+            self.model.get("reward_function", []),
+            entry_tag="Func",
+            table_tag="ValueTable",
+        )
+
+    def _write_section(self, tag, cond_probs, entry_tag="CondProb", table_tag="ProbTable"):
+        if not cond_probs:
+            return
+        section = etree.SubElement(self.xml, tag)
+        for cond in cond_probs:
+            el = etree.SubElement(section, entry_tag)
+            etree.SubElement(el, "Var").text = cond["Var"]
+            etree.SubElement(el, "Parent").text = " ".join(cond["Parent"])
+            parameter = etree.SubElement(
+                el, "Parameter", attrib={"type": cond.get("Type", "TBL")}
+            )
+            for entry in cond["Parameter"]:
+                e = etree.SubElement(parameter, "Entry")
+                etree.SubElement(e, "Instance").text = " ".join(entry["Instance"])
+                key = table_tag if table_tag in entry else ("ProbTable" if "ProbTable" in entry else "ValueTable")
+                etree.SubElement(e, key).text = " ".join(entry[key])
+
+    def __str__(self):
+        string = etree.tostring(self.xml, encoding=self.encoding)
+        if self.prettyprint:
+            return minidom.parseString(string).toprettyxml(indent="  ")
+        return string.decode(self.encoding)
+
+    def write_pomdpx(self, filename):
+        self.write_file(filename)
+
+    def write_file(self, filename):
+        with open(filename, "w") as f:
+            f.write(str(self))
