@@ -71,6 +71,18 @@ def main():
         t0 = time.time()
         alarm.simulate(n_samples=100_000, seed=1, show_progress=False)
         secondary["alarm_forward_samples_per_s"] = int(100_000 / (time.time() - t0))
+
+        from pgmpy_tpu.sampling import GibbsSampling
+
+        gibbs = GibbsSampling(alarm)
+        import numpy as np
+
+        np.asarray(gibbs.sample_chains(n_chains=10_000, size=20, seed=0))  # warm
+        t0 = time.time()
+        np.asarray(gibbs.sample_chains(n_chains=10_000, size=20, seed=1))
+        secondary["alarm_gibbs_10k_chain_sweeps_per_s"] = int(
+            20 * 10_000 / (time.time() - t0)
+        )
     except Exception as e:  # secondary metrics must never fail the bench
         secondary["error"] = str(e)[:200]
 

@@ -14,10 +14,11 @@ beats a single einsum.
 
 import itertools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pgmpy_tpu.config import logger
+from pgmpy_tpu.config import config, logger
 from pgmpy_tpu.factors.discrete import DiscreteFactor
 from pgmpy_tpu.factors.factor_ops import factor_product
 from pgmpy_tpu.inference.base import Inference
@@ -290,6 +291,90 @@ class VariableElimination(Inference):
                     list(set(variables) - {query_var}), inplace=False
                 )
         return query_var_factor
+
+    # ------------------------------------------------------------------ #
+    # batched queries: one contraction for N evidence rows
+    # ------------------------------------------------------------------ #
+    def query_batch(self, variables, evidence):
+        """Posterior P(variables | evidence_row) for EVERY row of a batch of
+        evidence assignments, in one fused contraction.
+
+        Evidence enters as one-hot "delta factors" carrying a shared batch
+        axis instead of per-row slicing — the whole batch is a single
+        einsum, so N rows cost one kernel launch (the device analogue of
+        the reference's joblib-parallel per-row predict loop,
+        ``DiscreteBayesianNetwork.py:731-911``).
+
+        Parameters
+        ----------
+        variables : list of query variables
+        evidence : dict {var: sequence of state names/indices}, all the
+            same length n
+
+        Returns
+        -------
+        (values, state_names): values has shape (n, card_q1, ...) with each
+        row normalized; state_names covers the query variables.
+        """
+        if not evidence:
+            raise ValueError("query_batch requires evidence; use query() otherwise")
+        n = len(next(iter(evidence.values())))
+        ev_vars = sorted(evidence.keys(), key=str)
+
+        model, _ = self._prune_bayesian_model(
+            list(variables), {v: 0 for v in ev_vars}
+        )
+        cpds = {c.variable: c for c in model.cpds}
+
+        arrays, scopes = [], []
+        state_names = {}
+        cards = {}
+        for cpd in model.cpds:
+            factor = cpd.to_factor()
+            arrays.append(factor.values)
+            scopes.append(list(factor.variables))
+            state_names.update(factor.state_names)
+            for var, card in zip(factor.variables, factor.cardinality):
+                cards[var] = int(card)
+
+        # one-hot delta factors with a shared leading batch axis
+        deltas = []
+        for var in ev_vars:
+            if var not in cards:
+                raise ValueError(f"Evidence variable {var} pruned out of the model")
+            names = state_names[var]
+            codes = np.asarray(
+                [
+                    names.index(s)
+                    if s in names
+                    else int(s)
+                    for s in evidence[var]
+                ],
+                dtype=np.int32,
+            )
+            onehot = jax.nn.one_hot(jnp.asarray(codes), cards[var], dtype=config.DTYPE)
+            deltas.append(onehot)
+
+        var_to_int, operand_axes = make_axis_map(scopes + [[v] for v in ev_vars])
+        batch_axis = len(var_to_int)
+        interleaved = []
+        for arr, axes in zip(arrays, operand_axes[: len(arrays)]):
+            interleaved.append(arr)
+            interleaved.append(list(axes))
+        for delta, axes in zip(deltas, operand_axes[len(arrays):]):
+            interleaved.append(delta)
+            interleaved.append([batch_axis, axes[0]])
+        out_axes = [batch_axis] + [var_to_int[v] for v in variables]
+        interleaved.append(out_axes)
+
+        from pgmpy_tpu.ops.einsum import PRECISION
+
+        values = jnp.einsum(*interleaved, optimize="greedy", precision=PRECISION)
+        norm = jnp.sum(values.reshape(n, -1), axis=1).reshape(
+            (n,) + (1,) * len(variables)
+        )
+        values = values / norm
+        return values, {v: state_names[v] for v in variables}
 
     # ------------------------------------------------------------------ #
     # public API

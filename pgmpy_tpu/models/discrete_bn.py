@@ -186,35 +186,10 @@ class DiscreteBayesianNetwork(DAG):
         return self
 
     def predict(self, data, stochastic=False, n_jobs=1, seed=None):
-        """MAP-impute (or sample, if ``stochastic``) the missing columns of
-        ``data`` row-batch-wise on device."""
-        from pgmpy_tpu.inference.ve import VariableElimination
-
-        if set(data.columns) == set(self.nodes()):
-            raise ValueError("No variable missing in data. Nothing to predict")
-        elif set(data.columns) - set(self.nodes()):
-            raise ValueError("Data has variables which are not in the model")
-        missing_variables = list(set(self.nodes()) - set(data.columns))
-
-        infer = VariableElimination(self)
-        unique_rows = data.drop_duplicates()
-        pred_map = {}
-        for _, row in unique_rows.iterrows():
-            evidence = row.to_dict()
-            if stochastic:
-                dist = infer.query(missing_variables, evidence=evidence, show_progress=False)
-                sampled = dist.sample(1, seed=seed).iloc[0].to_dict()
-                pred_map[tuple(row)] = sampled
-            else:
-                states = infer.map_query(
-                    missing_variables, evidence=evidence, show_progress=False
-                )
-                pred_map[tuple(row)] = states
-        preds = [pred_map[tuple(row)] for _, row in data.iterrows()]
-        return pd.DataFrame(preds, index=data.index)
-
-    def predict_probability(self, data):
-        """Posterior probability of each missing variable state per row."""
+        """Impute the missing columns of ``data``: the joint posterior over
+        the missing variables is computed for ALL rows in one batched
+        contraction (``VariableElimination.query_batch``), then argmax
+        (MAP) or categorical sampling per row."""
         from pgmpy_tpu.inference.ve import VariableElimination
 
         if set(data.columns) == set(self.nodes()):
@@ -224,16 +199,46 @@ class DiscreteBayesianNetwork(DAG):
         missing_variables = sorted(set(self.nodes()) - set(data.columns), key=str)
 
         infer = VariableElimination(self)
-        rows = []
-        for _, row in data.iterrows():
-            evidence = row.to_dict()
-            row_out = {}
-            for var in missing_variables:
-                dist = infer.query([var], evidence=evidence, show_progress=False)
-                for no, p in enumerate(np.asarray(dist.values)):
-                    row_out[f"{var}_{dist.state_names[var][no]}"] = float(p)
-            rows.append(row_out)
-        return pd.DataFrame(rows, index=data.index)
+        evidence = {col: data[col].tolist() for col in data.columns}
+        values, state_names = infer.query_batch(missing_variables, evidence)
+        values = np.asarray(values, dtype=np.float64)
+        n = values.shape[0]
+        flat = values.reshape(n, -1)
+        if stochastic:
+            rng = np.random.default_rng(seed)
+            probs = flat / flat.sum(axis=1, keepdims=True)
+            picks = np.array(
+                [rng.choice(flat.shape[1], p=probs[i]) for i in range(n)]
+            )
+        else:
+            picks = flat.argmax(axis=1)
+        cards = [len(state_names[v]) for v in missing_variables]
+        codes = np.stack(np.unravel_index(picks, cards), axis=1)
+        out = {}
+        for j, var in enumerate(missing_variables):
+            out[var] = [state_names[var][c] for c in codes[:, j]]
+        return pd.DataFrame(out, index=data.index)
+
+    def predict_probability(self, data):
+        """Posterior probability of each missing variable state per row —
+        one batched contraction per missing variable."""
+        from pgmpy_tpu.inference.ve import VariableElimination
+
+        if set(data.columns) == set(self.nodes()):
+            raise ValueError("No variable missing in data. Nothing to predict")
+        elif set(data.columns) - set(self.nodes()):
+            raise ValueError("Data has variables which are not in the model")
+        missing_variables = sorted(set(self.nodes()) - set(data.columns), key=str)
+
+        infer = VariableElimination(self)
+        evidence = {col: data[col].tolist() for col in data.columns}
+        out = {}
+        for var in missing_variables:
+            values, state_names = infer.query_batch([var], evidence)
+            values = np.asarray(values, dtype=np.float64)
+            for no, state in enumerate(state_names[var]):
+                out[f"{var}_{state}"] = values[:, no]
+        return pd.DataFrame(out, index=data.index)
 
     def get_state_probability(self, states):
         """P(assignment) for a full or partial joint assignment via the chain
