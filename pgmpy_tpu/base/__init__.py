@@ -5,4 +5,7 @@ from pgmpy_tpu.base.roles import GraphRolesMixin
 from pgmpy_tpu.base.admg import ADMG
 from pgmpy_tpu.base.mag import MAG
 
-__all__ = ["DAG", "PDAG", "UndirectedGraph", "GraphRolesMixin", "ADMG", "MAG"]
+# reference-name alias: AncestralBase machinery lives on MAG here
+AncestralBase = MAG
+
+__all__ = ["DAG", "PDAG", "UndirectedGraph", "GraphRolesMixin", "ADMG", "MAG", "AncestralBase"]

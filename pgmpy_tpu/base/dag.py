@@ -386,3 +386,59 @@ class DAG(GraphRolesMixin, nx.DiGraph):
         import pygraphviz  # soft dependency
 
         return nx.nx_agraph.to_agraph(self)
+
+    def edge_strength(self, data, edges=None):
+        """Strength of each edge as the Pillai-trace effect size of the
+        residualization-based CI test of (u, v) given v's other parents
+        (Ankan & Textor 2023)."""
+        from pgmpy_tpu.estimators.citests import pillai_trace
+
+        if edges is None:
+            edges = list(self.edges())
+        elif isinstance(edges, tuple) and len(edges) == 2 and not isinstance(edges[0], tuple):
+            edges = [edges]
+        strengths = {}
+        for u, v in edges:
+            other_parents = [p for p in self.get_parents(v) if p != u]
+            effect, _ = pillai_trace(u, v, other_parents, data, boolean=False)
+            strengths[(u, v)] = effect
+        return strengths
+
+    def validate(self, data, metrics=None, significance_level=0.05, **kwargs):
+        """Run model-fit metrics on the DAG + data; returns a DataFrame of
+        (metric, value) rows."""
+        import pandas as pd
+
+        from pgmpy_tpu.metrics import (
+            correlation_score,
+            fisher_c,
+            implied_cis,
+            log_likelihood_score,
+            structure_score,
+        )
+
+        dispatch = {
+            "correlation": lambda m, d: correlation_score(
+                m, d, significance_level=significance_level
+            ),
+            "log-likelihood": log_likelihood_score,
+            "aic": lambda m, d: structure_score(m, d, scoring_method="aic-d"),
+            "bic": lambda m, d: structure_score(m, d, scoring_method="bic-d"),
+            "fisher-c": lambda m, d: fisher_c(
+                m, d, ci_test="pillai", show_progress=False
+            )["p_value"],
+            "implied-cis": lambda m, d: implied_cis(
+                m, d, ci_test="pillai", show_progress=False
+            ),
+        }
+        if metrics is None:
+            metrics = ("correlation", "log-likelihood", "bic")
+        rows = []
+        for metric in metrics:
+            fn = dispatch[metric] if isinstance(metric, str) else metric
+            name = metric if isinstance(metric, str) else metric.__name__
+            try:
+                rows.append({"metric": name, "value": fn(self, data)})
+            except Exception as e:
+                rows.append({"metric": name, "value": f"error: {e}"})
+        return pd.DataFrame(rows)

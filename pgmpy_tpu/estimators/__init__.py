@@ -27,6 +27,7 @@ from pgmpy_tpu.estimators.scores import (
     get_scoring_method,
 )
 from pgmpy_tpu.estimators.citests import (
+    power_divergence,
     chi_square,
     g_sq,
     log_likelihood,
@@ -53,7 +54,7 @@ __all__ = [
     "LogLikelihoodGauss", "BICGauss", "AICGauss",
     "K2Score", "BDeuScore", "BDsScore", "BicScore", "AicScore",
     "ScoreCache", "get_scoring_method",
-    "chi_square", "g_sq", "log_likelihood", "modified_log_likelihood",
+    "power_divergence", "chi_square", "g_sq", "log_likelihood", "modified_log_likelihood",
     "pearsonr", "pillai_trace", "gcm", "independence_match", "get_callable_ci_test",
     "BaseConstraintEstimator", "PC", "HillClimbSearch", "GES",
     "ExhaustiveSearch", "TreeSearch", "MmhcEstimator", "ExpertKnowledge",

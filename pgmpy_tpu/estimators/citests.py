@@ -69,6 +69,11 @@ def _power_divergence(X, Y, Z, data, boolean, significance_level, lambda_):
     return stat_total, p_value, dof_total
 
 
+def power_divergence(X, Y, Z, data, boolean=True, significance_level=0.05, lambda_="cressie-read", **kwargs):
+    """Cressie-Read power-divergence family (lambda_ selects the member)."""
+    return _power_divergence(X, Y, Z, data, boolean, significance_level, lambda_)
+
+
 def chi_square(X, Y, Z, data, boolean=True, significance_level=0.05, **kwargs):
     return _power_divergence(X, Y, Z, data, boolean, significance_level, "pearson")
 

@@ -1,11 +1,19 @@
 from pgmpy_tpu.sampling.core import CompiledAncestralSampler
 from pgmpy_tpu.sampling.forward import BayesianModelSampling
 from pgmpy_tpu.sampling.gibbs import GibbsSampling
+from pgmpy_tpu.sampling.checkpoint import save_sampler_state, load_sampler_state
+
+# API-parity alias: the reference's BayesianModelInference base (CPT gather
+# tables) corresponds to the compiled ancestral sampler here
+BayesianModelInference = CompiledAncestralSampler
 
 __all__ = [
     "CompiledAncestralSampler",
+    "BayesianModelInference",
     "BayesianModelSampling",
     "GibbsSampling",
+    "save_sampler_state",
+    "load_sampler_state",
 ]
 
 

@@ -6,6 +6,9 @@ from pgmpy_tpu.utils.utils import (
     discretize,
 )
 from pgmpy_tpu.utils.optimizer import optimize, pinverse
+from pgmpy_tpu.utils.mathext import cartesian, sample_discrete, sample_discrete_maps, powerset
+from pgmpy_tpu.utils._safe_import import _safe_import, _check_soft_dependencies
+from pgmpy_tpu.utils.profiling import KernelTimer, trace
 
 __all__ = [
     "StateNameMixin",
@@ -15,4 +18,10 @@ __all__ = [
     "discretize",
     "optimize",
     "pinverse",
+    "cartesian",
+    "sample_discrete",
+    "sample_discrete_maps",
+    "powerset",
+    "KernelTimer",
+    "trace",
 ]
