@@ -128,6 +128,117 @@ class DBNInference:
                 alpha.variables = new_vars
         return results
 
+    def forward_scan(self, variables, evidence=None, n_time_slices=None):
+        """Compiled filtering: ONE ``lax.scan`` over time slices with the
+        interface potential carried as a dense array — constant memory in T
+        and a single kernel launch for the whole horizon (the SURVEY's
+        north-star temporal design).
+
+        ``variables``: list of variable NAMES (not (name, t)); filtered
+        marginals are returned for every slice: {(name, t): ndarray}.
+        ``evidence``: {(name, t): state}.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from pgmpy_tpu.config import config
+        from pgmpy_tpu.ops.einsum import PRECISION, make_axis_map
+
+        evidence = {tuple(k): v for k, v in (evidence or {}).items()}
+        if n_time_slices is None:
+            n_time_slices = max([t for _, t in evidence.keys()] + [1]) + 1
+
+        # transition-slice structure: operands = alpha(interface0) +
+        # transition factors + per-variable evidence deltas on slice-1 vars
+        trans_scopes = [list(f.variables) for f in self.transition_factors]
+        trans_arrays = [f.values for f in self.transition_factors]
+        slice1_vars = sorted({(v[0], 1) for f in self.transition_factors for v in f.variables if v[1] == 1}, key=str)
+        iface0 = list(self.interface_nodes_0)
+        iface1 = [(v, 1) for v, _ in iface0]
+
+        cards = {}
+        state_names = {}
+        for f in self.transition_factors + self.start_factors:
+            for v, c in zip(f.variables, f.cardinality):
+                cards[v] = int(c)
+                state_names[v] = f.state_names[v]
+
+        query_vars1 = [(name, 1) for name in variables]
+        all_scopes = (
+            [iface0]
+            + trans_scopes
+            + [[v] for v in slice1_vars]
+        )
+        var_to_int, operand_axes = make_axis_map(all_scopes)
+
+        def contract(alpha, deltas, out_vars):
+            interleaved = [alpha, list(operand_axes[0])]
+            for arr, axes in zip(trans_arrays, operand_axes[1 : 1 + len(trans_arrays)]):
+                interleaved.append(arr)
+                interleaved.append(list(axes))
+            for d, axes in zip(deltas, operand_axes[1 + len(trans_arrays):]):
+                interleaved.append(d)
+                interleaved.append(list(axes))
+            interleaved.append([var_to_int[v] for v in out_vars])
+            return jnp.einsum(*interleaved, optimize="greedy", precision=PRECISION)
+
+        # evidence codes per slice for slice-1 vars
+        ev_matrix = np.full((n_time_slices, len(slice1_vars)), -1, dtype=np.int32)
+        for (name, t), state in evidence.items():
+            v1 = (name, 1)
+            if v1 in slice1_vars and t >= 1:
+                names = state_names[v1]
+                code = names.index(state) if state in names else int(state)
+                ev_matrix[t, slice1_vars.index(v1)] = code
+        ev_matrix_j = jnp.asarray(ev_matrix)
+
+        # initial alpha: slice-0 posterior over the interface given slice-0
+        # evidence (host-side, one-off)
+        factors0 = self._apply_evidence(
+            list(self.start_factors),
+            {(n, 0): s for (n, t), s in evidence.items() if t == 0},
+        )
+        from pgmpy_tpu.factors.factor_ops import factor_sum_product
+
+        alpha0_factor = factor_sum_product(iface0, factors0).normalize(inplace=False)
+        alpha0 = alpha0_factor.values
+
+        def step(alpha, ev_row):
+            deltas = []
+            for j, v in enumerate(slice1_vars):
+                code = ev_row[j]
+                onehot = jax.nn.one_hot(
+                    jnp.clip(code, 0, cards[v] - 1), cards[v], dtype=config.DTYPE
+                )
+                deltas.append(
+                    jnp.where(code >= 0, onehot, jnp.ones(cards[v], dtype=config.DTYPE))
+                )
+            # filtered marginals for the query vars at this slice
+            margs = []
+            for q in query_vars1:
+                m = contract(alpha, deltas, [q])
+                margs.append(m / jnp.sum(m))
+            alpha_next = contract(alpha, deltas, iface1)
+            alpha_next = alpha_next / jnp.sum(alpha_next)
+            return alpha_next, margs
+
+        @jax.jit
+        def run(alpha0):
+            return jax.lax.scan(step, alpha0, ev_matrix_j[1:])
+
+        _, marg_stack = run(alpha0)
+
+        out = {}
+        # slice 0 marginals from the start factors
+        for name in variables:
+            phi = factor_sum_product([(name, 0)], factors0).normalize(inplace=False)
+            out[(name, 0)] = np.asarray(phi.values)
+        for qi, name in enumerate(variables):
+            arr = np.asarray(marg_stack[qi])
+            for t in range(1, n_time_slices):
+                out[(name, t)] = arr[t - 1]
+        return out
+
     def backward_inference(self, variables, evidence=None):
         """Smoothing: P(variables | ALL evidence).  Implemented by unrolling
         to the constant BN and running fused VE (exact; simple and correct

@@ -118,3 +118,28 @@ class TestParticleFilter:
         )
         assert particles.shape == (8192, 2)
         assert np.all(ess > 0)
+
+
+class TestForwardScan:
+    def test_scan_matches_eager_filtering(self):
+        dbn = weather_dbn()
+        infer = DBNInference(dbn)
+        evidence = {("umbrella", 1): 1, ("umbrella", 2): 1, ("umbrella", 3): 0}
+        scan_out = infer.forward_scan(["rain"], evidence=evidence, n_time_slices=4)
+        for t in [1, 2, 3]:
+            eager = infer.forward_inference([("rain", t)], evidence={
+                k: v for k, v in evidence.items() if k[1] <= t
+            })
+            np.testing.assert_allclose(
+                scan_out[("rain", t)],
+                np.asarray(eager[("rain", t)].values),
+                atol=1e-5,
+                err_msg=f"slice {t}",
+            )
+
+    def test_scan_long_horizon(self):
+        dbn = weather_dbn()
+        infer = DBNInference(dbn)
+        out = infer.forward_scan(["rain"], evidence={}, n_time_slices=200)
+        # no-evidence chain converges to the stationary distribution (0.5, 0.5)
+        np.testing.assert_allclose(out[("rain", 199)], [0.5, 0.5], atol=1e-4)
