@@ -79,9 +79,9 @@ class _CodedData:
         for k in range(1, len(cols)):
             flat = flat * cards[k] + sub[:, k]
         flat = jnp.where(valid, flat, 0)
-        w = weights if weights is not None else self.weights
-        if w is None:
-            w = jnp.ones((self.n,), dtype=config.DTYPE)
+        # weights=None means UNWEIGHTED (ones) — a stored _weight column is
+        # only used when the caller passes it explicitly
+        w = weights if weights is not None else jnp.ones((self.n,), dtype=config.DTYPE)
         w = jnp.where(valid, w, 0.0)
         total = int(np.prod(cards))
         table = _bincount_weighted(flat, w, total)
@@ -93,9 +93,8 @@ class _CodedData:
 
         Returns a list of (var_card, prod(parent_cards)) arrays.
         """
-        w = weights if weights is not None else self.weights
-        if w is None:
-            w = jnp.ones((self.n,), dtype=config.DTYPE)
+        # weights=None means UNWEIGHTED (see counts())
+        w = weights if weights is not None else jnp.ones((self.n,), dtype=config.DTYPE)
 
         offsets, sizes, all_cards, col_lists = [], [], [], []
         offset = 0

@@ -112,12 +112,18 @@ class ExpectationMaximization(ParameterEstimator):
         def log_prob(codes, tables):
             lp = jnp.zeros(codes.shape[0], dtype=config.DTYPE)
             for (vi, p_idx, p_cards), table in zip(node_specs, tables):
+                # NaN observations carry code -1: clip for the gather and
+                # drop the node's term (approximate marginalization of the
+                # missing entry) instead of letting -1 wrap to the last state
+                valid = codes[:, vi] >= 0
                 flat = jnp.zeros(codes.shape[0], dtype=jnp.int32)
                 for pj, pc in zip(p_idx, p_cards):
-                    flat = flat * pc + codes[:, pj]
-                lp = lp + jnp.log(
-                    jnp.maximum(table[flat, codes[:, vi]], 1e-38)
+                    valid = valid & (codes[:, pj] >= 0)
+                    flat = flat * pc + jnp.maximum(codes[:, pj], 0)
+                term = jnp.log(
+                    jnp.maximum(table[flat, jnp.maximum(codes[:, vi], 0)], 1e-38)
                 )
+                lp = lp + jnp.where(valid, term, 0.0)
             return lp
 
         @jax.jit

@@ -96,6 +96,7 @@ class DiscreteFactor(StateNameMixin):
     def set_value(self, value, **kwargs):
         index = tuple(self.get_state_no(var, kwargs[var]) for var in self.variables)
         self.values = self.values.at[index].set(value)
+        self.__dict__.pop("_is_valid_cpd", None)  # invalidate cached validity
 
     def assignment(self, index):
         """Assignments (as (var, state-name) lists) of flat indices."""

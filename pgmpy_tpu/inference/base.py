@@ -120,24 +120,44 @@ class Inference:
         likelihood vector; conditioning that child on 0 applies the evidence
         (Mrad et al. 2012)."""
         self._check_virtual_evidence(virtual_evidence)
-        bn = self.model.copy()
-        for cpd in virtual_evidence:
-            var = cpd.variables[0]
-            new_var = "__" + str(var)
-            bn.add_edge(var, new_var)
-            likelihood = np.asarray(cpd.values, dtype=np.float64).ravel()
-            values = np.vstack([likelihood, 1 - likelihood])
-            new_cpd = TabularCPD(
-                variable=new_var,
-                variable_card=2,
-                values=values,
-                evidence=[var],
-                evidence_card=[self.model.get_cardinality(var)],
-                state_names={new_var: [0, 1], var: cpd.state_names[var]},
-            )
-            bn.add_cpds(new_cpd)
+        bn = attach_virtual_evidence(self.model.copy(), virtual_evidence)
         self.__init__(bn)
 
     @staticmethod
     def _get_virtual_evidence_var_list(virtual_evidence):
         return [cpd.variables[0] for cpd in virtual_evidence]
+
+
+def attach_virtual_evidence(model, virtual_evidence):
+    """Mutate ``model``: add a binary likelihood child "__<var>" per virtual
+    evidence CPD; conditioning the child on state 0 applies the evidence.
+    Shared by inference and simulation."""
+    for cpd in virtual_evidence:
+        var = cpd.variables[0]
+        if var not in model.nodes():
+            raise ValueError("Evidence provided for variable which is not in the model")
+        if len(cpd.variables) > 1:
+            raise ValueError(
+                "Virtual evidence should be defined on individual variables. "
+                "Maybe you are looking for soft evidence."
+            )
+        if model.get_cardinality(var) != int(cpd.cardinality[0]):
+            raise ValueError(
+                "The number of states/cardinality for the evidence should be "
+                "same as the number of states/cardinality of the variable in the model"
+            )
+        new_var = "__" + str(var)
+        model.add_edge(var, new_var)
+        likelihood = np.asarray(cpd.values, dtype=np.float64).ravel()
+        values = np.vstack([likelihood, 1 - likelihood])
+        model.add_cpds(
+            TabularCPD(
+                variable=new_var,
+                variable_card=2,
+                values=values,
+                evidence=[var],
+                evidence_card=[model.get_cardinality(var)],
+                state_names={new_var: [0, 1], var: cpd.state_names[var]},
+            )
+        )
+    return model

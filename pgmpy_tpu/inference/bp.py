@@ -434,8 +434,13 @@ class BeliefPropagation(Inference):
         self, variables=None, evidence=None, virtual_evidence=None, show_progress=False
     ):
         """MAP assignment of ``variables`` given evidence (argmax of the
-        sum-posterior joint, matching reference semantics)."""
-        variables = list(variables) if variables else []
+        sum-posterior joint, matching reference semantics).
+        ``variables=None`` means all non-evidence variables."""
+        if not variables:
+            variables = sorted(
+                set(self.variables) - set(evidence or {}), key=str
+            )
+        variables = list(variables)
         common_vars = set(evidence if evidence is not None else []) & set(variables)
         if common_vars:
             raise ValueError(f"Can't have the same variables in both `variables` and `evidence`. Found in both: {common_vars}")

@@ -473,8 +473,13 @@ class VariableElimination(Inference):
         show_progress=False,
     ):
         """MAP assignment of ``variables`` given evidence (argmax of the
-        joint posterior over the query variables)."""
-        variables = list(variables) if variables else []
+        joint posterior over the query variables).  ``variables=None``
+        means all non-evidence variables (reference semantics)."""
+        if not variables:
+            variables = sorted(
+                set(self.variables) - set(evidence or {}), key=str
+            )
+        variables = list(variables)
         common_vars = set(evidence if evidence is not None else []) & set(variables)
         if common_vars:
             raise ValueError(f"Can't have the same variables in both `variables` and `evidence`. Found in both: {common_vars}")

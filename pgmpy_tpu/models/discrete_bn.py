@@ -51,6 +51,10 @@ class DiscreteBayesianNetwork(DAG):
         for node in nodes:
             self.remove_node(node)
 
+    def remove_edge(self, u, v):
+        self._bump_version()
+        super().remove_edge(u, v)
+
     def add_cpds(self, *cpds):
         self._bump_version()
         for cpd in cpds:

@@ -54,33 +54,14 @@ def simulate_model(
         evidence = {**evidence, **do}
         virtual_evidence = [*virtual_evidence, *virtual_intervention]
 
-    # Step 2: virtual evidence becomes binary likelihood children
-    for cpd in virtual_evidence:
-        var = cpd.variables[0]
-        if var not in working.nodes():
-            raise ValueError("Evidence provided for variable which is not in the model")
-        if len(cpd.variables) > 1:
-            raise ValueError(
-                "Virtual evidence should be defined on individual variables. "
-                "Maybe you are looking for soft evidence."
-            )
-        if model.get_cardinality(var) != int(cpd.cardinality[0]):
-            raise ValueError(
-                "The number of states/cardinality for the evidence should be same "
-                "as the number of states/cardinality of the variable in the model"
-            )
-        new_var = "__" + str(var)
-        working.add_edge(var, new_var)
-        likelihood = np.asarray(cpd.values, dtype=np.float64).ravel()
-        values = np.vstack([likelihood, 1 - likelihood])
-        working.add_cpds(
-            TabularCPD(
-                new_var, 2, values,
-                evidence=[var], evidence_card=[working.get_cardinality(var)],
-                state_names={new_var: [0, 1], var: cpd.state_names[var]},
-            )
-        )
-        evidence[new_var] = 0
+    # Step 2: virtual evidence becomes binary likelihood children (shared
+    # construction with inference)
+    if virtual_evidence:
+        from pgmpy_tpu.inference.base import attach_virtual_evidence
+
+        attach_virtual_evidence(working, virtual_evidence)
+        for cpd in virtual_evidence:
+            evidence["__" + str(cpd.variables[0])] = 0
 
     # Step 3: missingness mechanism variables
     missing_cpds = []

@@ -269,3 +269,35 @@ class TestPrediction:
         assert reg.adjustment_set_ == ["z"]
         assert reg.causal_effect() == pytest.approx(2.0, abs=0.05)
         assert reg.score(data, target) > 0.8
+
+
+class TestMplpTightening:
+    def test_frustrated_cycle_needs_triplets(self):
+        """Anti-ferromagnetic 3-cycle: plain pairwise LP is loose (dual=3w),
+        triplet tightening closes the gap to the true MAP value (2w)."""
+        w = 1.0
+        disagree = np.exp(np.array([[0.0, w], [w, 0.0]]))
+        mn = DiscreteMarkovNetwork([("a", "b"), ("b", "c"), ("a", "c")])
+        for edge in [("a", "b"), ("b", "c"), ("a", "c")]:
+            mn.add_factors(DiscreteFactor(list(edge), [2, 2], disagree.ravel()))
+        mplp = Mplp(mn)
+        result = mplp.map_query(tighten_triplet=True)
+        # optimal: exactly one agreeing edge -> value 2w
+        from pgmpy_tpu.factors import factor_product
+
+        joint = factor_product(*mn.factors)
+        best = float(np.max(np.log(np.asarray(joint.values))))
+        got = mplp.best_decoded_value
+        assert got == pytest.approx(best, abs=1e-6)
+        assert mplp.get_integrality_gap() < 1e-3
+
+    def test_plain_mplp_loose_without_tightening(self):
+        w = 1.0
+        disagree = np.exp(np.array([[0.0, w], [w, 0.0]]))
+        mn = DiscreteMarkovNetwork([("a", "b"), ("b", "c"), ("a", "c")])
+        for edge in [("a", "b"), ("b", "c"), ("a", "c")]:
+            mn.add_factors(DiscreteFactor(list(edge), [2, 2], disagree.ravel()))
+        mplp = Mplp(mn)
+        mplp.map_query(tighten_triplet=False)
+        # the pairwise relaxation keeps a gap of about w
+        assert mplp.get_integrality_gap() > 0.5

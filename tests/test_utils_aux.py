@@ -113,3 +113,74 @@ class TestEdgeStrengthValidate:
         strengths = dag.edge_strength(data)
         assert strengths[("x", "y")] > strengths[("z", "y")]
         assert 0 <= strengths[("z", "y")] <= 1
+
+
+class TestReviewRegressions:
+    """Regressions for the round-1 code-review findings."""
+
+    def _student(self):
+        from pgmpy_tpu.models import DiscreteBayesianNetwork
+        from pgmpy_tpu.factors import TabularCPD
+
+        m = DiscreteBayesianNetwork([("A", "B")])
+        m.add_cpds(
+            TabularCPD("A", 2, [[0.4], [0.6]]),
+            TabularCPD("B", 2, [[0.9, 0.2], [0.1, 0.8]], evidence=["A"], evidence_card=[2]),
+        )
+        return m
+
+    def test_map_query_default_variables(self):
+        from pgmpy_tpu.inference import BeliefPropagation, VariableElimination
+
+        m = self._student()
+        out = VariableElimination(m).map_query(evidence={"A": 1}, show_progress=False)
+        assert out == {"B": 1}
+        out_bp = BeliefPropagation(m).map_query(evidence={"A": 1}, show_progress=False)
+        assert out_bp == {"B": 1}
+        # no evidence: full MAP over all variables
+        full = VariableElimination(m).map_query(show_progress=False)
+        assert set(full) == {"A", "B"}
+
+    def test_weighted_false_ignores_weight_column(self):
+        from pgmpy_tpu.estimators import MaximumLikelihoodEstimator
+
+        df = pd.DataFrame({"A": [0, 0, 1, 1], "B": [0, 1, 0, 1], "_weight": [10.0, 1, 1, 1]})
+        m = self._student()
+        est = MaximumLikelihoodEstimator(m, df)
+        unweighted = est.estimate_cpd("A", weighted=False).get_values().ravel()
+        np.testing.assert_allclose(unweighted, [0.5, 0.5], atol=1e-6)
+        weighted = est.estimate_cpd("A", weighted=True).get_values().ravel()
+        np.testing.assert_allclose(weighted, [11 / 13, 2 / 13], atol=1e-6)
+
+    def test_remove_edge_invalidates_check(self):
+        m = self._student()
+        assert m.check_model()
+        m.remove_edge("A", "B")
+        with pytest.raises(ValueError):
+            m.check_model()
+
+    def test_set_value_invalidates_validity(self):
+        from pgmpy_tpu.factors import TabularCPD
+
+        cpd = TabularCPD("A", 2, [[0.9], [0.1]])
+        assert cpd.is_valid_cpd()
+        cpd.set_value(0.9, A=1)
+        assert not cpd.is_valid_cpd()
+
+    def test_em_handles_nan_rows(self):
+        from pgmpy_tpu.estimators import ExpectationMaximization
+        from pgmpy_tpu.models import DiscreteBayesianNetwork
+
+        rng = np.random.default_rng(0)
+        n = 1500
+        z = rng.random(n) < 0.4
+        x = np.where(z, rng.random(n) < 0.9, rng.random(n) < 0.1).astype(float)
+        y = np.where(z, rng.random(n) < 0.85, rng.random(n) < 0.15).astype(float)
+        x[:50] = np.nan  # missing observations must not bias the E-step
+        data = pd.DataFrame({"x": x, "y": y})
+        model = DiscreteBayesianNetwork([("z", "x"), ("z", "y")], latents=["z"])
+        est = ExpectationMaximization(model, data)
+        cpds = est.get_parameters(seed=42, max_iter=40, atol=1e-4, show_progress=False)
+        cpd_x = [c for c in cpds if c.variable == "x"][0]
+        spread = abs(cpd_x.get_values()[1, 0] - cpd_x.get_values()[1, 1])
+        assert spread > 0.5
