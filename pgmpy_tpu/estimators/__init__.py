@@ -18,6 +18,9 @@ from pgmpy_tpu.estimators.scores import (
     LogLikelihoodGauss,
     BICGauss,
     AICGauss,
+    LogLikelihoodCondGauss,
+    BICCondGauss,
+    AICCondGauss,
     K2Score,
     BDeuScore,
     BDsScore,
@@ -52,6 +55,7 @@ __all__ = [
     "MaximumLikelihoodEstimator", "BayesianEstimator", "ExpectationMaximization",
     "StructureScore", "K2", "BDeu", "BDs", "BIC", "AIC", "LogLikeliHood",
     "LogLikelihoodGauss", "BICGauss", "AICGauss",
+    "LogLikelihoodCondGauss", "BICCondGauss", "AICCondGauss",
     "K2Score", "BDeuScore", "BDsScore", "BicScore", "AicScore",
     "ScoreCache", "get_scoring_method",
     "power_divergence", "chi_square", "g_sq", "log_likelihood", "modified_log_likelihood",

@@ -7,6 +7,7 @@ Local scores are lgamma/log reductions over device-computed count tables
 """
 
 import numpy as np
+import pandas as pd
 from scipy.special import gammaln
 
 from pgmpy_tpu.estimators.base import StructureEstimator
@@ -24,6 +25,9 @@ def get_scoring_method(scoring_method, data, use_cache=True):
         "ll-g": LogLikelihoodGauss,
         "bic-g": BICGauss,
         "aic-g": AICGauss,
+        "ll-cg": LogLikelihoodCondGauss,
+        "bic-cg": BICCondGauss,
+        "aic-cg": AICCondGauss,
         "loglikelihood": LogLikeliHood,
     }
     if isinstance(scoring_method, str):
@@ -211,6 +215,144 @@ class BICGauss(_GaussBase):
 class AICGauss(_GaussBase):
     def local_score(self, variable, parents):
         ll, k, n = self._residual_ll(variable, list(parents))
+        return ll - k
+
+
+class _CondGaussBase(StructureScore):
+    """Conditional-linear-Gaussian local scores for MIXED data
+    (reference: ``StructureScore.py:1192-1737``).
+
+    * continuous child: per discrete-parent configuration, a linear
+      regression on the continuous parents (jnp lstsq residuals).
+    * discrete child with continuous parents: multinomial logistic
+      regression fitted with a few optax steps.
+    * discrete child with only discrete parents: the plain discrete LL.
+    """
+
+    def _split_parents(self, parents):
+        disc, cont = [], []
+        for p in parents:
+            if pd.api.types.is_float_dtype(self.data[p]):
+                cont.append(p)
+            else:
+                disc.append(p)
+        return disc, cont
+
+    def _ll_continuous_child(self, variable, disc_parents, cont_parents):
+        import itertools as it
+
+        import jax.numpy as jnp
+
+        y_all = self.data[variable].to_numpy(dtype=np.float64)
+        n = len(y_all)
+        if disc_parents:
+            groups = self.data.groupby(disc_parents, observed=True).indices
+        else:
+            groups = {None: np.arange(n)}
+        ll = 0.0
+        k = 0
+        for _, idx in groups.items():
+            y = y_all[idx]
+            if len(y) < len(cont_parents) + 2:
+                k += len(cont_parents) + 2
+                continue
+            if cont_parents:
+                X = np.column_stack(
+                    [np.ones(len(idx))]
+                    + [
+                        self.data[p].to_numpy(dtype=np.float64)[idx]
+                        for p in cont_parents
+                    ]
+                )
+                beta, _, _, _ = jnp.linalg.lstsq(jnp.asarray(X), jnp.asarray(y))
+                resid = y - X @ np.asarray(beta)
+            else:
+                resid = y - y.mean()
+            sigma2 = max(float(np.mean(resid**2)), 1e-12)
+            ll += -0.5 * len(y) * (np.log(2 * np.pi * sigma2) + 1)
+            k += len(cont_parents) + 2
+        return ll, k, n
+
+    def _ll_discrete_child(self, variable, disc_parents, cont_parents):
+        n = self.data.shape[0]
+        if not cont_parents:
+            ll = LogLikeliHood.local_score(self, variable, disc_parents)
+            counts = self._coded.counts(variable, list(disc_parents))
+            k = counts.shape[1] * (counts.shape[0] - 1)
+            return ll, k, n
+        # multinomial logistic regression of the child on [continuous
+        # parents + one-hot discrete parents]
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        names = self._coded.state_names[variable]
+        card = len(names)
+        y = jnp.asarray(
+            self.data[variable]
+            .map({s: i for i, s in enumerate(names)})
+            .to_numpy(dtype=np.int32)
+        )
+        feats = [np.ones(n)]
+        feats += [self.data[p].to_numpy(dtype=np.float64) for p in cont_parents]
+        for p in disc_parents:
+            p_names = self._coded.state_names[p]
+            codes = self.data[p].map({s: i for i, s in enumerate(p_names)}).to_numpy()
+            onehot = np.eye(len(p_names))[codes][:, 1:]  # drop baseline
+            feats.append(onehot)
+        X = jnp.asarray(np.column_stack(feats))
+        d = X.shape[1]
+        W0 = jnp.zeros((d, card))
+
+        def nll(W):
+            logits = X @ W
+            return -jnp.sum(
+                jax.nn.log_softmax(logits, axis=1)[jnp.arange(n), y]
+            )
+
+        tx = optax.adam(0.1)
+        state = tx.init(W0)
+        W = W0
+
+        @jax.jit
+        def step(W, state):
+            loss, grads = jax.value_and_grad(nll)(W)
+            updates, state = tx.update(grads, state, W)
+            return optax.apply_updates(W, updates), state, loss
+
+        prev = None
+        for _ in range(300):
+            W, state, loss = step(W, state)
+            loss = float(loss)
+            if prev is not None and abs(prev - loss) < 1e-4:
+                break
+            prev = loss
+        k = d * (card - 1)
+        return -loss, k, n
+
+    def _local(self, variable, parents):
+        parents = list(parents)
+        disc_parents, cont_parents = self._split_parents(parents)
+        if pd.api.types.is_float_dtype(self.data[variable]):
+            return self._ll_continuous_child(variable, disc_parents, cont_parents)
+        return self._ll_discrete_child(variable, disc_parents, cont_parents)
+
+
+class LogLikelihoodCondGauss(_CondGaussBase):
+    def local_score(self, variable, parents):
+        ll, _, _ = self._local(variable, parents)
+        return ll
+
+
+class BICCondGauss(_CondGaussBase):
+    def local_score(self, variable, parents):
+        ll, k, n = self._local(variable, parents)
+        return ll - 0.5 * k * np.log(max(n, 1))
+
+
+class AICCondGauss(_CondGaussBase):
+    def local_score(self, variable, parents):
+        ll, k, n = self._local(variable, parents)
         return ll - k
 
 

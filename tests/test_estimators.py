@@ -291,3 +291,34 @@ class TestStructureLearning:
         assert ("b", "a") in ek.forbidden_edges
         black, white = ek.limit_search_space(["a", "b"])
         assert ("b", "a") in black
+
+
+class TestCondGaussScores:
+    def make_mixed(self, n=2000):
+        rng = np.random.default_rng(0)
+        d = rng.integers(0, 2, n)  # discrete parent
+        x = rng.normal(size=n) + 2.0 * d  # continuous child of d
+        y = np.where(x + rng.normal(size=n) * 0.5 > 1.0, 1, 0)  # discrete child of x
+        return pd.DataFrame({"d": d, "x": x, "y": y.astype(int)})
+
+    def test_continuous_child_prefers_true_parent(self):
+        from pgmpy_tpu.estimators import BICCondGauss
+
+        data = self.make_mixed()
+        score = BICCondGauss(data)
+        assert score.local_score("x", ["d"]) > score.local_score("x", [])
+
+    def test_discrete_child_with_continuous_parent(self):
+        from pgmpy_tpu.estimators import BICCondGauss
+
+        data = self.make_mixed()
+        score = BICCondGauss(data)
+        assert score.local_score("y", ["x"]) > score.local_score("y", [])
+
+    def test_model_score_finite(self):
+        from pgmpy_tpu.estimators import LogLikelihoodCondGauss
+
+        data = self.make_mixed(500)
+        dag = DAG([("d", "x"), ("x", "y")])
+        s = LogLikelihoodCondGauss(data).score(dag)
+        assert np.isfinite(s)
