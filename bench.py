@@ -83,6 +83,20 @@ def main():
         secondary["alarm_gibbs_10k_chain_sweeps_per_s"] = int(
             20 * 10_000 / (time.time() - t0)
         )
+
+        from pgmpy_tpu.sampling.nuts_jax import VectorizedNUTS
+
+        ecoli = get_example_model("ecoli70")
+        _, mu, _ = ecoli.to_joint_gaussian()
+        nuts = VectorizedNUTS(ecoli, max_depth=5)
+        nuts.sample(mu.copy(), num_samples=2, num_adapt=2, stepsize=0.17,
+                    n_chains=256, seed=0)  # warm
+        t0 = time.time()
+        out = nuts.sample(mu.copy(), num_samples=100, num_adapt=20,
+                          stepsize=0.17, n_chains=256, seed=1)
+        secondary["ecoli70_nuts_samples_per_s"] = int(
+            out.shape[0] * out.shape[1] / (time.time() - t0)
+        )
     except Exception as e:  # secondary metrics must never fail the bench
         secondary["error"] = str(e)[:200]
 

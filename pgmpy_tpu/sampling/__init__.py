@@ -18,6 +18,10 @@ __all__ = [
 
 
 def __getattr__(name):
+    if name == "VectorizedNUTS":
+        from pgmpy_tpu.sampling.nuts_jax import VectorizedNUTS
+
+        return VectorizedNUTS
     if name in ("HamiltonianMC", "HamiltonianMCDA", "NoUTurnSampler", "NoUTurnSamplerDA"):
         from pgmpy_tpu.sampling import hmc
 

@@ -132,3 +132,36 @@ class TestNUTS:
         _, mean, cov = model.to_joint_gaussian()
         np.testing.assert_allclose(samples[100:].mean(axis=0), mean, atol=0.3)
         np.testing.assert_allclose(np.cov(samples[100:].T), cov, atol=0.6)
+
+
+class TestVectorizedNUTS:
+    def test_moments_and_adaptation(self):
+        from pgmpy_tpu.sampling import VectorizedNUTS
+
+        model = LinearGaussianBayesianNetwork([("x1", "x2")])
+        model.add_cpds(
+            LinearGaussianCPD("x1", [1], 2),
+            LinearGaussianCPD("x2", [0, 1.0], 1, evidence=["x1"]),
+        )
+        nuts = VectorizedNUTS(model, max_depth=6)
+        samples = nuts.sample(
+            np.zeros(2), num_samples=800, num_adapt=200, stepsize=0.1,
+            n_chains=32, seed=0,
+        )
+        pooled = samples[100:].reshape(-1, 2)
+        _, mean, cov = model.to_joint_gaussian()
+        np.testing.assert_allclose(pooled.mean(axis=0), mean, atol=0.2)
+        np.testing.assert_allclose(np.cov(pooled.T), cov, atol=0.6)
+        assert 0.6 < nuts.acceptance_rate <= 1.0
+
+    def test_matches_host_nuts_distribution(self):
+        """Compiled and host-recursive NUTS should agree on the posterior."""
+        from pgmpy_tpu.sampling import VectorizedNUTS
+
+        model = chain_lgbn()
+        vec = VectorizedNUTS(model, max_depth=6)
+        s1 = vec.sample(np.zeros(3), num_samples=1200, num_adapt=200, n_chains=16, seed=0)
+        p1 = s1[200:].reshape(-1, 3)
+        _, mean, cov = model.to_joint_gaussian()
+        np.testing.assert_allclose(p1.mean(axis=0), mean, atol=0.3)
+        np.testing.assert_allclose(np.sqrt(np.diag(np.cov(p1.T))), np.sqrt(np.diag(cov)), rtol=0.15)
