@@ -96,6 +96,91 @@ def sharded_sample_marginals(
     return out
 
 
+def sharded_nuts_moments(
+    model, n_chains, num_samples, num_adapt=100, stepsize=0.1, mesh=None,
+    max_depth=5, seed=0, axis_name="chains",
+):
+    """Posterior mean/std from NUTS chains sharded over the mesh.
+
+    Each device runs ``n_chains / n_devices`` compiled NUTS chains; the
+    dual-averaging stepsize adapts on the psum-averaged GLOBAL acceptance,
+    and the first/second moment sums reduce with psum — the multi-chip
+    analogue of running one big vmap.
+    """
+    from pgmpy_tpu.sampling.nuts_jax import VectorizedNUTS
+
+    if mesh is None:
+        mesh = get_mesh(axis_name=axis_name)
+    n_dev = mesh.devices.size
+    per_dev = -(-int(n_chains) // n_dev)
+
+    nuts = VectorizedNUTS(model, max_depth=max_depth)
+    variables, mean0, _ = model.to_joint_gaussian()
+    dim = len(variables)
+    init = jnp.tile(jnp.asarray(mean0), (per_dev, 1))
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=P())
+    def run(key):
+        idx = jax.lax.axis_index(axis_name)
+        key = jax.random.fold_in(key[0], idx)
+        # re-implement the scan here so moments reduce inside the program
+        samples = _nuts_chains_local(nuts, key, init, num_samples, num_adapt,
+                                     stepsize, axis_name)
+        flat = samples.reshape(-1, dim)
+        s1 = jax.lax.psum(jnp.sum(flat, axis=0), axis_name)
+        s2 = jax.lax.psum(jnp.sum(flat**2, axis=0), axis_name)
+        n = jax.lax.psum(jnp.asarray(flat.shape[0], dtype=config.DTYPE), axis_name)
+        return s1[None], s2[None], n[None, None]
+
+    key = jax.random.PRNGKey(seed)[None]
+    s1, s2, n = run(key)
+    s1, s2, n = np.asarray(s1)[0], np.asarray(s2)[0], float(np.asarray(n)[0, 0])
+    mean = s1 / n
+    std = np.sqrt(np.maximum(s2 / n - mean**2, 0.0))
+    return dict(zip(variables, zip(mean, std)))
+
+
+def _nuts_chains_local(nuts, key, init, num_samples, num_adapt, stepsize, axis_name):
+    """Per-device NUTS scan with globally-pmean'd stepsize adaptation."""
+    mu = jnp.log(10.0 * stepsize)
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+    num_adapt = int(num_adapt)
+
+    def one_step(carry, inputs):
+        positions, log_eps, log_eps_bar, h_bar = carry
+        key_t, m = inputs
+        eps = jnp.exp(log_eps)
+        chain_keys = jax.random.split(key_t, positions.shape[0])
+        positions, accept_stats = jax.vmap(
+            lambda k, q: nuts._nuts_step(k, q, eps)
+        )(chain_keys, positions)
+        mean_accept = jax.lax.pmean(jnp.mean(accept_stats), axis_name)
+        adapting = m < num_adapt
+        m_adapt = jnp.minimum(m, num_adapt - 1).astype(jnp.float32) + 1.0
+        h_bar_new = (1 - 1 / (m_adapt + t0)) * h_bar + (nuts.delta - mean_accept) / (
+            m_adapt + t0
+        )
+        log_eps_new = mu - jnp.sqrt(m_adapt) / gamma * h_bar_new
+        eta = m_adapt**-kappa
+        log_eps_bar_new = eta * log_eps_new + (1 - eta) * log_eps_bar
+        log_eps = jnp.where(adapting, log_eps_new, log_eps_bar)
+        log_eps_bar = jnp.where(adapting, log_eps_bar_new, log_eps_bar)
+        h_bar = jnp.where(adapting, h_bar_new, h_bar)
+        return (positions, log_eps, log_eps_bar, h_bar), positions
+
+    total = num_adapt + int(num_samples)
+    keys = jax.random.split(key, total)
+    ms = jnp.arange(total)
+    # under shard_map the carry must be marked as device-varying up front
+    # (positions/stepsize depend on the per-device PRNG fold-in)
+    carry = jax.tree_util.tree_map(
+        lambda x: jax.lax.pvary(x, axis_name),
+        (init, jnp.log(stepsize), jnp.log(stepsize), jnp.asarray(0.0)),
+    )
+    _, trajectory = jax.lax.scan(one_step, carry, (keys, ms))
+    return trajectory[num_adapt:]
+
+
 def sharded_gibbs_marginals(
     model, n_chains, n_sweeps, mesh=None, burn_in=0, seed=0, axis_name="chains"
 ):

@@ -178,6 +178,7 @@ class VectorizedNUTS:
         n_chains=1,
         seed=0,
         return_type="array",
+        axis_name=None,
     ):
         """Run ``n_chains`` NUTS chains fully compiled.
 
@@ -205,6 +206,10 @@ class VectorizedNUTS:
                 lambda k, q: self._nuts_step(k, q, eps)
             )(chain_keys, positions)
             mean_accept = jnp.mean(accept_stats)
+            if axis_name is not None:
+                # under shard_map: adapt on the GLOBAL mean acceptance so
+                # every device converges to the same stepsize
+                mean_accept = jax.lax.pmean(mean_accept, axis_name)
 
             adapting = m < num_adapt
             m_adapt = jnp.minimum(m, num_adapt - 1).astype(jnp.float32) + 1.0

@@ -76,3 +76,25 @@ class TestMesh:
         m2 = sharded_sample_marginals(model, 16000, mesh=get_mesh(2), seed=0)
         for var in m8:
             np.testing.assert_allclose(m8[var], m2[var], atol=0.03)
+
+
+class TestShardedNUTS:
+    def test_moments_match_closed_form(self):
+        from pgmpy_tpu.factors import LinearGaussianCPD
+        from pgmpy_tpu.models import LinearGaussianBayesianNetwork
+        from pgmpy_tpu.parallel import sharded_nuts_moments
+
+        model = LinearGaussianBayesianNetwork([("x1", "x2")])
+        model.add_cpds(
+            LinearGaussianCPD("x1", [1], 2),
+            LinearGaussianCPD("x2", [0, 1.0], 1, evidence=["x1"]),
+        )
+        moments = sharded_nuts_moments(
+            model, n_chains=64, num_samples=400, num_adapt=150,
+            stepsize=0.2, max_depth=5, seed=0,
+        )
+        _, mean, cov = model.to_joint_gaussian()
+        std = np.sqrt(np.diag(cov))
+        for i, (var, (m, s)) in enumerate(moments.items()):
+            assert abs(m - mean[i]) < 0.25, var
+            assert abs(s - std[i]) / std[i] < 0.15, var
