@@ -89,8 +89,10 @@ def main():
         ecoli = get_example_model("ecoli70")
         _, mu, _ = ecoli.to_joint_gaussian()
         nuts = VectorizedNUTS(ecoli, max_depth=5)
-        nuts.sample(mu.copy(), num_samples=2, num_adapt=2, stepsize=0.17,
-                    n_chains=256, seed=0)  # warm
+        # warm with IDENTICAL static shapes (scan length is baked into the
+        # compiled program)
+        nuts.sample(mu.copy(), num_samples=100, num_adapt=20, stepsize=0.17,
+                    n_chains=256, seed=0)
         t0 = time.time()
         out = nuts.sample(mu.copy(), num_samples=100, num_adapt=20,
                           stepsize=0.17, n_chains=256, seed=1)
