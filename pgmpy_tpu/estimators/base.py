@@ -28,6 +28,28 @@ def _bincount_weighted(flat_idx, weights, length):
     return weighted_bincount(flat_idx, weights, length)
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _multi_counts_kernel(codes, w, spec):
+    """One scatter-add over all (variable, parents) count tables.  ``spec``
+    is a hashable (col_lists, all_cards, offsets, total) tuple so jit caches
+    the compiled program per spec — EM calls this every iteration with the
+    same spec and must not retrace (ADVICE r1)."""
+    col_lists, all_cards, offsets, total = spec
+    flats = []
+    ws = []
+    for cols, cards, off in zip(col_lists, all_cards, offsets):
+        sub = codes[:, jnp.asarray(cols)]
+        valid = jnp.all(sub >= 0, axis=1)
+        flat = sub[:, 0]
+        for k in range(1, len(cols)):
+            flat = flat * cards[k] + sub[:, k]
+        flats.append(jnp.where(valid, flat + off, off))
+        ws.append(jnp.where(valid, w, 0.0))
+    flat_all = jnp.concatenate(flats)
+    w_all = jnp.concatenate(ws)
+    return jnp.zeros(total, dtype=config.DTYPE).at[flat_all].add(w_all)
+
+
 class _CodedData:
     """Integer-coded dataset resident on device.  NaN rows are tracked with
     a per-column validity mask (code -1)."""
@@ -109,23 +131,8 @@ class _CodedData:
             offset += size
         total = offset
 
-        @partial(jax.jit, static_argnums=())
-        def run(codes, w):
-            flats = []
-            ws = []
-            for cols, cards, off in zip(col_lists, all_cards, offsets):
-                sub = codes[:, jnp.asarray(cols)]
-                valid = jnp.all(sub >= 0, axis=1)
-                flat = sub[:, 0]
-                for k in range(1, len(cols)):
-                    flat = flat * cards[k] + sub[:, k]
-                flats.append(jnp.where(valid, flat + off, off))
-                ws.append(jnp.where(valid, w, 0.0))
-            flat_all = jnp.concatenate(flats)
-            w_all = jnp.concatenate(ws)
-            return jnp.zeros(total, dtype=config.DTYPE).at[flat_all].add(w_all)
-
-        combined = np.asarray(run(self.codes, w))
+        spec = (tuple(col_lists), tuple(all_cards), tuple(offsets), total)
+        combined = np.asarray(_multi_counts_kernel(self.codes, w, spec))
         out = []
         for (variable, parents), off, size, cards in zip(
             specs, offsets, sizes, all_cards

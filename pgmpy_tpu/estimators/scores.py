@@ -249,11 +249,22 @@ class _CondGaussBase(StructureScore):
             groups = self.data.groupby(disc_parents, observed=True).indices
         else:
             groups = {None: np.arange(n)}
+        # pooled (parent-free) model: fallback scorer for configurations too
+        # small to fit a regression, so every candidate parent set is scored
+        # on the same n rows — otherwise fragmenting parents silently drop
+        # (typically negative) terms and get inflated LL (ADVICE r1)
+        pooled_mean = float(y_all.mean()) if n else 0.0
+        pooled_sigma2 = max(float(np.mean((y_all - pooled_mean) ** 2)), 1e-12) if n else 1.0
         ll = 0.0
         k = 0
         for _, idx in groups.items():
             y = y_all[idx]
             if len(y) < len(cont_parents) + 2:
+                resid = y - pooled_mean
+                ll += -0.5 * (
+                    len(y) * np.log(2 * np.pi * pooled_sigma2)
+                    + float(np.sum(resid**2)) / pooled_sigma2
+                )
                 k += len(cont_parents) + 2
                 continue
             if cont_parents:

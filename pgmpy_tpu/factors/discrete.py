@@ -69,6 +69,22 @@ class DiscreteFactor(StateNameMixin):
         self.store_state_names(variables, cardinality, state_names)
 
     # ------------------------------------------------------------------ #
+    # values: property so every in-place mutation (including direct user
+    # assignment ``factor.values = ...``) bumps a counter that model-level
+    # compiled-program caches key on, and invalidates the cached CPD
+    # validity bit.
+    # ------------------------------------------------------------------ #
+    @property
+    def values(self):
+        return self._values
+
+    @values.setter
+    def values(self, new_values):
+        self._values = new_values
+        self.__dict__["_mutation"] = self.__dict__.get("_mutation", 0) + 1
+        self.__dict__.pop("_is_valid_cpd", None)
+
+    # ------------------------------------------------------------------ #
     # introspection
     # ------------------------------------------------------------------ #
     def scope(self):
@@ -96,7 +112,6 @@ class DiscreteFactor(StateNameMixin):
     def set_value(self, value, **kwargs):
         index = tuple(self.get_state_no(var, kwargs[var]) for var in self.variables)
         self.values = self.values.at[index].set(value)
-        self.__dict__.pop("_is_valid_cpd", None)  # invalidate cached validity
 
     def assignment(self, index):
         """Assignments (as (var, state-name) lists) of flat indices."""
@@ -301,7 +316,9 @@ class DiscreteFactor(StateNameMixin):
             return cached
         v = np.asarray(self.values, dtype=np.float64)
         marg = v.reshape(v.shape[0], -1).sum(axis=0)
-        return bool(np.allclose(marg, 1.0, atol=0.01))
+        result = bool(np.allclose(marg, 1.0, atol=0.01))
+        self._is_valid_cpd = result  # cache the device->host reduction
+        return result
 
     def copy(self):
         copy = DiscreteFactor.__new__(DiscreteFactor)

@@ -29,6 +29,15 @@ class DiscreteBayesianNetwork(DAG):
     def _bump_version(self):
         self._version = getattr(self, "_version", 0) + 1
 
+    def _cache_token(self):
+        """Key for compiled-program / validity caches: changes on any model
+        edit (``_version``) AND on any in-place CPD value mutation (the
+        per-factor ``_mutation`` counter bumped by the ``values`` setter)."""
+        return (
+            getattr(self, "_version", 0),
+            tuple((id(c), c.__dict__.get("_mutation", 0)) for c in self.cpds),
+        )
+
     def add_edge(self, u, v, weight=None, **kwargs):
         self._bump_version()
         if u == v:
@@ -111,7 +120,7 @@ class DiscreteBayesianNetwork(DAG):
         single device call — per-CPD host round-trips cost minutes on
         MUNIN-scale networks over a remote TPU.
         """
-        if self.__dict__.get("_checked_version") == getattr(self, "_version", 0):
+        if self.__dict__.get("_checked_version") == self._cache_token():
             return True
         nodes_to_check = []
         for node in self.nodes():
@@ -141,7 +150,7 @@ class DiscreteBayesianNetwork(DAG):
                 raise ValueError(
                     f"Sum or integral of conditional probabilities for node {node} is not equal to 1."
                 )
-        self._checked_version = getattr(self, "_version", 0)
+        self._checked_version = self._cache_token()
         return True
 
     def to_markov_model(self):

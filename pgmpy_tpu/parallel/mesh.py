@@ -174,7 +174,7 @@ def _nuts_chains_local(nuts, key, init, num_samples, num_adapt, stepsize, axis_n
     # under shard_map the carry must be marked as device-varying up front
     # (positions/stepsize depend on the per-device PRNG fold-in)
     carry = jax.tree_util.tree_map(
-        lambda x: jax.lax.pvary(x, axis_name),
+        lambda x: jax.lax.pcast(x, axis_name, to="varying"),
         (init, jnp.log(stepsize), jnp.log(stepsize), jnp.asarray(0.0)),
     )
     _, trajectory = jax.lax.scan(one_step, carry, (keys, ms))

@@ -28,7 +28,9 @@ _PROB_RE = re.compile(
 )
 _ROW_RE = re.compile(r"\(\s*(?P<config>[^)]*)\)\s*(?P<values>[^;]*);")
 _TABLE_RE = re.compile(r"table\s+(?P<values>[^;]*);")
+_DEFAULT_RE = re.compile(r"default\s+(?P<values>[^;]*);")
 _NETWORK_RE = re.compile(r"network\s+(?P<name>[^\s{]+)\s*\{")
+_PROPERTY_RE = re.compile(r"property\s+(?P<text>[^;]*);")
 
 
 def _split_csv(text):
@@ -39,6 +41,7 @@ class BIFReader:
     """Parse a .bif / .bif.gz file or string into a DiscreteBayesianNetwork."""
 
     def __init__(self, path=None, string=None, include_properties=False, n_jobs=1):
+        self.include_properties = include_properties
         if path is not None:
             if str(path).endswith(".gz"):
                 with gzip.open(path, "rt") as f:
@@ -57,9 +60,11 @@ class BIFReader:
         self.variable_states = {}
         self.variable_cards = {}
         self.variable_names = []
+        self.variable_properties = {}
         for match in _VARIABLE_RE.finditer(self.network):
             name = match.group("name").strip()
-            tmatch = _TYPE_RE.search(match.group("body"))
+            body = match.group("body")
+            tmatch = _TYPE_RE.search(body)
             if tmatch is None:
                 continue
             states = _split_csv(tmatch.group("states"))
@@ -71,6 +76,9 @@ class BIFReader:
             self.variable_names.append(name)
             self.variable_states[name] = states
             self.variable_cards[name] = card
+            self.variable_properties[name] = [
+                p.group("text").strip() for p in _PROPERTY_RE.finditer(body)
+            ]
 
         self.variable_parents = {}
         self.tables = {}
@@ -88,7 +96,7 @@ class BIFReader:
                     {s: i for i, s in enumerate(self.variable_states[p])}
                     for p in parents
                 ]
-                filled = 0
+                explicit = np.zeros(n_cols, dtype=bool)
                 for row in _ROW_RE.finditer(body):
                     config = _split_csv(row.group("config"))
                     idx = np.ravel_multi_index(
@@ -96,13 +104,24 @@ class BIFReader:
                         parent_cards,
                     )
                     values[:, idx] = [float(v) for v in _split_csv(row.group("values"))]
-                    filled += 1
-                if filled != n_cols:
-                    # some files use a flat `table` row even with parents
+                    explicit[idx] = True
+                if not explicit.all():
+                    # `default <values>;` fills every parent configuration not
+                    # given an explicit row (ref BIF.py:160,287 accepts the
+                    # keyword; the BIF spec gives it these fill semantics).
+                    dmatch = _DEFAULT_RE.search(body)
+                    # some files use a flat `table` row even with parents; the
+                    # reference reshapes C-order — child slowest, last parent
+                    # fastest (ref BIF.py:287-294).
                     tmatch = _TABLE_RE.search(body)
-                    if tmatch:
+                    if dmatch:
+                        default_col = [
+                            float(v) for v in _split_csv(dmatch.group("values"))
+                        ]
+                        values[:, ~explicit] = np.asarray(default_col)[:, None]
+                    elif tmatch:
                         flat = [float(v) for v in _split_csv(tmatch.group("values"))]
-                        values = np.asarray(flat).reshape(card, n_cols, order="F")
+                        values = np.asarray(flat).reshape(card, n_cols)
                 self.tables[child] = values
             else:
                 tmatch = _TABLE_RE.search(body)
@@ -133,6 +152,10 @@ class BIFReader:
     def get_network_name(self):
         return self.network_name
 
+    def get_property(self):
+        """Per-variable `property` lines (ref BIF.py:238-258)."""
+        return dict(self.variable_properties)
+
     def get_model(self, state_name_type=str):
         from pgmpy_tpu.models.discrete_bn import DiscreteBayesianNetwork
 
@@ -140,6 +163,13 @@ class BIFReader:
         model.add_nodes_from(self.variable_names)
         model.add_edges_from(self.get_edges())
         model.name = self.network_name
+        if self.include_properties:
+            # `prop = value` lines become node attributes (ref BIF.py:405-411)
+            for node, props in self.variable_properties.items():
+                for prop in props:
+                    if "=" in prop:
+                        prop_name, prop_value = (t.strip() for t in prop.split("=", 1))
+                        model.nodes[node][prop_name] = prop_value
 
         cpds = []
         for var in self.variable_names:
@@ -187,9 +217,16 @@ class BIFWriter:
         for var in model.nodes():
             cpd = model.get_cpds(var)
             states = ", ".join(str(s) for s in cpd.state_names[var])
+            # node attributes persist as `property name = value ;` lines
+            # (ref BIF.py:470,514-519,625-651)
+            props = "".join(
+                f"  property {prop} = {val} ;\n"
+                for prop, val in sorted(model.nodes[var].items())
+            )
             out.append(
                 f"variable {var} {{\n"
                 f"  type discrete [ {cpd.variable_card} ] {{ {states} }};\n"
+                f"{props}"
                 f"}}\n"
             )
         for var in model.nodes():

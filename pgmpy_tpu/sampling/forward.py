@@ -20,14 +20,15 @@ class BayesianModelSampling:
             )
         self.model = model
         # reuse the compiled program across sampler instances; model edits
-        # (add_cpds/add_edge/...) bump _version to invalidate
-        version = getattr(model, "_version", 0)
+        # (add_cpds/add_edge/...) and in-place CPD mutations invalidate via
+        # the cache token
+        token = model._cache_token()
         cached = model.__dict__.get("_compiled_sampler")
-        if cached is not None and cached[0] == version:
+        if cached is not None and cached[0] == token:
             self.sampler = cached[1]
         else:
             self.sampler = CompiledAncestralSampler(model)
-            model.__dict__["_compiled_sampler"] = (version, self.sampler)
+            model.__dict__["_compiled_sampler"] = (token, self.sampler)
         self.topological_order = self.sampler.variables
 
     def _evidence_to_codes(self, evidence):

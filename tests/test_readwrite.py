@@ -116,6 +116,94 @@ class TestRoundTrips:
             get_writer("bogus")
 
 
+DOG_BIF = """
+network dog {
+}
+variable bowel-problem {
+  type discrete [ 2 ] { true, false };
+  property position = (335, 99) ;
+}
+variable dog-out {
+  type discrete [ 2 ] { true, false };
+  property position = (300, 195) ;
+}
+probability ( bowel-problem ) {
+  table 0.01, 0.99;
+}
+probability ( dog-out | bowel-problem ) {
+  (true) 0.99, 0.01;
+  (false) 0.3, 0.7;
+}
+"""
+
+
+class TestBIFGrammar:
+    def test_flat_table_with_parents_c_order(self):
+        """Flat `table` rows for conditional blocks reshape C-order:
+        child slowest, parent configs fastest (ref BIF.py:287-294)."""
+        bif = """
+network t {
+}
+variable A {
+  type discrete [ 2 ] { a0, a1 };
+}
+variable B {
+  type discrete [ 2 ] { b0, b1 };
+}
+probability ( A ) {
+  table 0.4, 0.6;
+}
+probability ( B | A ) {
+  table 0.1, 0.2, 0.9, 0.8;
+}
+"""
+        reader = BIFReader(string=bif)
+        np.testing.assert_allclose(
+            reader.get_values()["B"], [[0.1, 0.2], [0.9, 0.8]]
+        )
+
+    def test_default_rows_fill_unlisted_configs(self):
+        bif = """
+network t {
+}
+variable A {
+  type discrete [ 3 ] { a0, a1, a2 };
+}
+variable B {
+  type discrete [ 2 ] { b0, b1 };
+}
+probability ( A ) {
+  table 0.2, 0.3, 0.5;
+}
+probability ( B | A ) {
+  default 0.5, 0.5;
+  (a0) 0.9, 0.1;
+}
+"""
+        reader = BIFReader(string=bif)
+        np.testing.assert_allclose(
+            reader.get_values()["B"], [[0.9, 0.5, 0.5], [0.1, 0.5, 0.5]]
+        )
+
+    def test_property_parse(self):
+        reader = BIFReader(string=DOG_BIF)
+        assert reader.get_property() == {
+            "bowel-problem": ["position = (335, 99)"],
+            "dog-out": ["position = (300, 195)"],
+        }
+
+    def test_property_to_node_attrs(self):
+        model = BIFReader(string=DOG_BIF, include_properties=True).get_model()
+        assert model.nodes["bowel-problem"]["position"] == "(335, 99)"
+
+    def test_property_roundtrip(self):
+        model = BIFReader(string=DOG_BIF, include_properties=True).get_model()
+        text = BIFWriter(model).get_string()
+        back = BIFReader(string=text, include_properties=True).get_model()
+        assert back.nodes["dog-out"]["position"] == "(300, 195)"
+        assert_models_equal(model, back)
+
+
 class TestInferenceAfterLoad:
     def test_xmlbif_posterior_matches_bif(self):
         """Same network through two formats gives identical posteriors."""

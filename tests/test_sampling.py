@@ -185,3 +185,30 @@ class TestGibbs:
         states = list(gibbs.generate_sample(size=3, seed=0))
         assert len(states) == 3
         assert len(states[0]) == 5
+
+
+class TestCacheInvalidation:
+    def test_inplace_cpd_mutation_invalidates_compiled_sampler(self):
+        """In-place CPD edits (set_value / direct .values assignment) must
+        invalidate the model-cached compiled sampler (ADVICE r1)."""
+        model = student_bn()
+        s1 = BayesianModelSampling(model)
+        df = s1.forward_sample(size=20000, seed=0)
+        emp_before = marginal_of(df, "diff", 2)
+        assert abs(emp_before[0] - 0.6) < 0.02
+
+        cpd = model.get_cpds("diff")
+        cpd.values = np.asarray([0.05, 0.95]).reshape(2)  # direct assignment
+        s2 = BayesianModelSampling(model)
+        assert s2.sampler is not s1.sampler
+        df2 = s2.forward_sample(size=20000, seed=0)
+        emp_after = marginal_of(df2, "diff", 2)
+        assert abs(emp_after[0] - 0.05) < 0.02
+
+    def test_inplace_mutation_invalidates_check_model_cache(self):
+        model = student_bn()
+        assert model.check_model()
+        cpd = model.get_cpds("diff")
+        cpd.set_value(0.9, diff=0)  # column no longer sums to 1
+        with pytest.raises(ValueError, match="not equal to 1"):
+            model.check_model()
