@@ -1,15 +1,25 @@
 """VariableElimination: exact posterior queries as fused contractions.
 
-The design center (reference: ``/root/reference/pgmpy/inference/
-ExactInference.py:34-724`` and ``EliminationOrder.py:11-166``): a host-side
-planner prunes the model, slices evidence out of the CPT arrays, maps
-variables to integer einsum labels and emits ONE contraction over all
-factors (``ops/einsum.sum_product_planned``) — XLA fuses and caches the
-compiled program per shape signature, so repeated queries with the same
-structure cost one kernel launch.  The classic per-variable elimination loop
-(with MinFill/MinNeighbors/MinWeight/WeightedMinFill orders) is kept for
-``max_marginal``/diagnostics and for contraction shapes where a staged loop
-beats a single einsum.
+The design center (reference behavior: ``/root/reference/pgmpy/inference/
+ExactInference.py:34-724``, ``EliminationOrder.py:11-166``): a host-side
+planner prunes the model, maps variables to integer einsum labels and emits
+contractions over the raw CPT arrays.
+
+Three execution paths, all operating on the int-label program
+representation (arrays + integer axis tuples, never factor objects):
+
+* **compiled single query** — one jitted program per (query vars, evidence
+  vars) signature, cached on the model; evidence enters as state *codes*
+  (device input), so repeated queries with different evidence values reuse
+  the compiled executable.  Tiny contractions are placed on the host CPU
+  backend: a remote-TPU dispatch costs ~1ms of link latency that dwarfs a
+  microsecond contraction.
+* **staged elimination** — per-variable label elimination for
+  ``max_marginal`` / explicit elimination orders: each step contracts the
+  group of live operands containing the label down to the union scope minus
+  the label (sum or max reduction).
+* **batched queries** (``query_batch``) — N evidence rows as one-hot delta
+  factors sharing a batch axis; the whole batch is a single einsum.
 """
 
 import itertools
@@ -23,77 +33,110 @@ from pgmpy_tpu.factors.discrete import DiscreteFactor
 from pgmpy_tpu.factors.factor_ops import factor_product
 from pgmpy_tpu.inference.base import Inference
 from pgmpy_tpu.models.discrete_bn import DiscreteBayesianNetwork
-from pgmpy_tpu.ops.einsum import make_axis_map, sum_product_planned
+from pgmpy_tpu.ops.einsum import PRECISION, make_axis_map, sum_product_planned
 
 
 # ---------------------------------------------------------------------- #
 # elimination-order heuristics (host side)
 # ---------------------------------------------------------------------- #
 class BaseEliminationOrder:
-    """Greedy ordering: repeatedly eliminate the lowest-cost node."""
+    """Greedy triangulation ordering on the moral graph.
+
+    The graph lives in a boolean adjacency matrix so per-candidate costs are
+    vectorized numpy, and eliminating a node *marries its remaining
+    neighbors* (the fill-in clique the staged contraction will actually
+    create) instead of re-moralizing the shrinking DAG each step.
+    Subclasses define the cost of eliminating node ``i`` next.
+    """
 
     def __init__(self, model):
         if not isinstance(model, DiscreteBayesianNetwork):
             raise ValueError("Model should be a DiscreteBayesianNetwork instance")
-        self.bayesian_model = model.copy()
-        self.moralized_model = self.bayesian_model.moralize()
+        self._nodes = list(model.nodes())
+        self._idx = {n: i for i, n in enumerate(self._nodes)}
+        n = len(self._nodes)
+        self._adj = np.zeros((n, n), dtype=bool)
+        for u, v in model.moralize().edges():
+            i, j = self._idx[u], self._idx[v]
+            if i != j:
+                self._adj[i, j] = self._adj[j, i] = True
+        cards = model.get_cardinality()
+        self._card = np.asarray(
+            [max(int(cards[node]), 1) for node in self._nodes], dtype=np.float64
+        )
+        self._alive = np.ones(n, dtype=bool)
 
+    # -- cost interface ------------------------------------------------- #
     def cost(self, node):
-        return 0
+        """Cost of eliminating ``node`` next (lower is better)."""
+        return self._cost(self._idx[node])
 
-    def get_elimination_order(self, nodes=None, show_progress=False):
-        if nodes is None:
-            nodes = self.bayesian_model.nodes()
-        nodes = list(nodes)
-        ordering = []
-        while nodes:
-            scores = {node: self.cost(node) for node in nodes}
-            min_score_node = min(scores, key=scores.get)
-            ordering.append(min_score_node)
-            nodes.remove(min_score_node)
-            self.bayesian_model.remove_node(min_score_node)
-            self.moralized_model = self.bayesian_model.moralize()
-        return ordering
+    def _cost(self, i):
+        return 0.0
+
+    def _neighbors(self, i):
+        return np.flatnonzero(self._adj[i] & self._alive)
 
     def fill_in_edges(self, node):
-        neighbors = list(self.moralized_model.neighbors(node))
+        """Edges the elimination of ``node`` would add between its
+        currently non-adjacent neighbors."""
+        nb = self._neighbors(self._idx[node])
         return [
-            edge
-            for edge in itertools.combinations(neighbors, 2)
-            if not self.moralized_model.has_edge(*edge)
+            (self._nodes[a], self._nodes[b])
+            for a, b in itertools.combinations(nb, 2)
+            if not self._adj[a, b]
         ]
 
-
-class WeightedMinFill(BaseEliminationOrder):
-    def cost(self, node):
-        edges = itertools.combinations(self.moralized_model.neighbors(node), 2)
-        return sum(
-            self.bayesian_model.get_cardinality(u) * self.bayesian_model.get_cardinality(v)
-            for u, v in edges
-            if not self.moralized_model.has_edge(u, v)
-        )
+    def get_elimination_order(self, nodes=None, show_progress=False):
+        """Greedily order ``nodes`` (default: all) by repeated min-cost
+        elimination with fill-in."""
+        if nodes is None:
+            nodes = self._nodes
+        candidates = {self._idx[n] for n in nodes}
+        order = []
+        while candidates:
+            best = min(candidates, key=lambda i: (self._cost(i), i))
+            order.append(self._nodes[best])
+            nb = self._neighbors(best)
+            if nb.size > 1:
+                self._adj[np.ix_(nb, nb)] = True
+                self._adj[nb, nb] = False
+            self._adj[best, :] = False
+            self._adj[:, best] = False
+            self._alive[best] = False
+            candidates.remove(best)
+        return order
 
 
 class MinNeighbors(BaseEliminationOrder):
-    def cost(self, node):
-        return len(list(self.moralized_model.neighbors(node)))
+    def _cost(self, i):
+        return int(self._neighbors(i).size)
 
 
 class MinWeight(BaseEliminationOrder):
-    def cost(self, node):
-        return float(
-            np.prod(
-                [
-                    self.bayesian_model.get_cardinality(nb)
-                    for nb in self.moralized_model.neighbors(node)
-                ]
-            )
-        )
+    def _cost(self, i):
+        return float(np.prod(self._card[self._neighbors(i)]))
 
 
 class MinFill(BaseEliminationOrder):
-    def cost(self, node):
-        return len(self.fill_in_edges(node))
+    def _cost(self, i):
+        nb = self._neighbors(i)
+        if nb.size < 2:
+            return 0
+        sub = self._adj[np.ix_(nb, nb)]
+        iu = np.triu_indices(nb.size, k=1)
+        return int((~sub[iu]).sum())
+
+
+class WeightedMinFill(BaseEliminationOrder):
+    def _cost(self, i):
+        nb = self._neighbors(i)
+        if nb.size < 2:
+            return 0.0
+        sub = self._adj[np.ix_(nb, nb)]
+        weights = np.outer(self._card[nb], self._card[nb])
+        iu = np.triu_indices(nb.size, k=1)
+        return float((weights[iu] * ~sub[iu]).sum())
 
 
 _ORDER_HEURISTICS = {
@@ -104,122 +147,211 @@ _ORDER_HEURISTICS = {
 }
 
 
+# ---------------------------------------------------------------------- #
+# compiled per-signature query programs
+# ---------------------------------------------------------------------- #
+# Below this many total tensor elements the contraction runs on the host
+# CPU backend: remote-TPU dispatch latency (~ms over the tunnel) dwarfs a
+# microsecond-scale einsum.  Larger programs go to the accelerator.
+_SMALL_QUERY_ELEMENTS = 65536
+
+
+def _cpu_device():
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
+class _CompiledQuery:
+    """One jitted contraction per (query vars, evidence vars) signature.
+
+    Built once: prune the model for this signature, collect the CPT arrays
+    and their int-label axes, and close a jitted function over them that
+    takes the evidence state codes as its only (device) input.  Calling it
+    with different evidence values is a single executable dispatch — no
+    host-side pruning, slicing, or path planning per call.
+    """
+
+    def __init__(self, infer, variables, ev_vars):
+        model, kept_evidence = infer._prune_bayesian_model(
+            list(variables), {v: 0 for v in ev_vars}
+        )
+        self.query_vars = list(variables)
+        self.ev_vars = list(ev_vars)
+        self.kept = [v for v in ev_vars if v in kept_evidence]
+
+        arrays, scopes = [], []
+        state_names, cards = {}, {}
+        for cpd in model.cpds:
+            arrays.append(cpd.values)
+            scopes.append(list(cpd.variables))
+            state_names.update(cpd.state_names)
+            for var, card in zip(cpd.variables, cpd.cardinality):
+                cards[var] = int(card)
+
+        missing = [v for v in variables if v not in cards]
+        if missing:
+            raise ValueError(f"Query variables not in reduced model: {missing}")
+
+        var_to_int, operand_axes = make_axis_map(scopes + [[v] for v in self.kept])
+        out_axes = [var_to_int[v] for v in self.query_vars]
+        self.cards = [cards[v] for v in self.query_vars]
+        self.state_names = {v: list(state_names[v]) for v in self.query_vars}
+        self._code_maps = [
+            {s: i for i, s in enumerate(state_names[v])} for v in self.kept
+        ]
+        self._kept_cards = [cards[v] for v in self.kept]
+
+        out_size = int(np.prod(self.cards)) if self.cards else 1
+        total = sum(int(np.asarray(a).size) for a in arrays) + out_size
+        self._device = _cpu_device() if total < _SMALL_QUERY_ELEMENTS else None
+        if self._device is not None:
+            arrays = [jax.device_put(jnp.asarray(a), self._device) for a in arrays]
+
+        n_f = len(arrays)
+        kept_cards = self._kept_cards
+        dtype = config.DTYPE
+
+        def run(codes):
+            interleaved = []
+            for arr, axes in zip(arrays, operand_axes[:n_f]):
+                interleaved.append(arr)
+                interleaved.append(list(axes))
+            for k, axes in enumerate(operand_axes[n_f:]):
+                interleaved.append(jax.nn.one_hot(codes[k], kept_cards[k], dtype=dtype))
+                interleaved.append(list(axes))
+            interleaved.append(out_axes)
+            values = jnp.einsum(*interleaved, optimize="greedy", precision=PRECISION)
+            return values / jnp.sum(values)
+
+        self._fn = jax.jit(run)
+
+    def encode(self, evidence):
+        """Evidence {var: state name or int} -> int32 code vector."""
+        codes = np.empty(len(self.kept), dtype=np.int32)
+        for k, var in enumerate(self.kept):
+            state = evidence[var]
+            mapping = self._code_maps[k]
+            if state in mapping:
+                codes[k] = mapping[state]
+            elif isinstance(state, (int, np.integer)) and 0 <= state < self._kept_cards[k]:
+                codes[k] = int(state)
+            else:
+                raise ValueError(f"Evidence state {state!r} not valid for {var}")
+        return codes
+
+    def __call__(self, evidence):
+        codes = self.encode(evidence)
+        if self._device is not None:
+            # put the host numpy codes STRAIGHT onto the chosen device — a
+            # bare jnp.asarray would land on the default (remote TPU) device
+            # and pay a tunnel round-trip per query
+            on_device = jax.device_put(codes, self._device)
+        else:
+            on_device = jnp.asarray(codes)
+        values = self._fn(on_device)
+        return DiscreteFactor(
+            list(self.query_vars), self.cards, values, state_names=self.state_names
+        )
+
+
 class VariableElimination(Inference):
     # ------------------------------------------------------------------ #
-    # helpers
+    # elimination-order resolution
     # ------------------------------------------------------------------ #
-    def _get_working_factors(self, evidence):
-        """{var: set((factor, origin))} with evidence sliced out."""
-        working_factors = {
-            node: {(factor, None) for factor in self.factors[node]}
-            for node in self.factors
-        }
-        if evidence:
-            for evidence_var in evidence:
-                for factor, origin in list(working_factors[evidence_var]):
-                    factor_reduced = factor.reduce(
-                        [(evidence_var, evidence[evidence_var])],
-                        inplace=False,
-                        show_warnings=False,
-                    )
-                    for var in factor_reduced.scope():
-                        working_factors[var].discard((factor, origin))
-                        working_factors[var].add((factor_reduced, evidence_var))
-                del working_factors[evidence_var]
-        return working_factors
+    def _elimination_order_for(
+        self, variables, evidence, elimination_order, show_progress=False
+    ):
+        """Resolve ``elimination_order`` (explicit list or heuristic name)
+        to the list of variables to eliminate, validating coverage."""
+        keep = set(variables) | set(evidence.keys() if evidence else [])
+        to_eliminate = set(self.variables) - keep
 
-    def _get_elimination_order(self, variables, evidence, elimination_order, show_progress=False):
-        to_eliminate = (
-            set(self.variables)
-            - set(variables)
-            - set(evidence.keys() if evidence else [])
-        )
         if isinstance(elimination_order, (list, tuple)):
-            if any(
-                var in elimination_order
-                for var in set(variables) | set(evidence.keys() if evidence else [])
-            ):
+            overlap = set(elimination_order) & keep
+            if overlap:
                 raise ValueError(
                     "Elimination order contains variables which are in variables or evidence args"
                 )
-            # drop variables pruned out of the reduced model
-            elimination_order = [
-                var for var in elimination_order if var in self.model.nodes()
-            ]
-            if set(elimination_order) != to_eliminate:
+            order = [v for v in elimination_order if v in self.model.nodes()]
+            if set(order) != to_eliminate:
                 raise ValueError(
                     "Elimination order doesn't contain all the variables which need "
                     "to be eliminated. The variables which need to be eliminated are "
                     f"{to_eliminate}"
                 )
-            return list(elimination_order)
+            return order
+
         if not to_eliminate:
             return []
-        if isinstance(self.model, DiscreteBayesianNetwork) and str(
-            elimination_order
-        ).lower() in _ORDER_HEURISTICS:
-            # compute the heuristic order on the reduced model
-            model_copy = self.model.copy()
-            order = _ORDER_HEURISTICS[elimination_order.lower()](
-                model_copy
-            ).get_elimination_order(list(to_eliminate), show_progress=show_progress)
-            return order
-        # fallback: arbitrary but deterministic
+
+        heuristic = _ORDER_HEURISTICS.get(str(elimination_order).lower())
+        if heuristic is not None and isinstance(self.model, DiscreteBayesianNetwork):
+            return heuristic(self.model).get_elimination_order(
+                sorted(to_eliminate, key=str), show_progress=show_progress
+            )
         return sorted(to_eliminate, key=str)
 
     # ------------------------------------------------------------------ #
-    # the fused ("greedy") path: one einsum over all evidence-sliced CPTs
+    # staged elimination on the int-label program representation
     # ------------------------------------------------------------------ #
-    def _fused_query(self, variables, evidence, joint):
-        model, evidence = self._prune_bayesian_model(variables, evidence)
+    def _model_entries(self, evidence):
+        """Unique model factors as (values array, int-label tuple) entries
+        with evidence axes sliced out, plus the label<->var maps and any
+        scalar mass from fully-observed factors."""
+        unique = {}
+        for factor_list in self.factors.values():
+            for factor in factor_list:
+                unique[id(factor)] = factor
+        var_to_int, _ = make_axis_map([list(self.variables)])
+        label_names = {}  # label -> (var, cardinality, state names)
+
+        entries = []
+        scalar = 1.0
         evidence = evidence or {}
+        for factor in unique.values():
+            values = factor.values
+            labels = []
+            index = []
+            for var, card in zip(factor.variables, factor.cardinality):
+                if var in evidence:
+                    index.append(factor.get_state_no(var, evidence[var]))
+                else:
+                    index.append(slice(None))
+                    lbl = var_to_int[var]
+                    labels.append(lbl)
+                    label_names[lbl] = (var, int(card), factor.state_names[var])
+            values = values[tuple(index)]
+            if labels:
+                entries.append((values, tuple(labels)))
+            else:
+                scalar = scalar * values
+        return entries, var_to_int, label_names, scalar
 
-        arrays = []
-        scopes = []
-        state_names = {}
-        for cpd in model.cpds:
-            factor = cpd.to_factor()
-            if evidence:
-                sliced = [
-                    (var, evidence[var]) for var in factor.scope() if var in evidence
-                ]
-                if sliced:
-                    factor = factor.reduce(sliced, inplace=False, show_warnings=False)
-            if factor.scope():
-                arrays.append(factor.values)
-                scopes.append(list(factor.variables))
-                state_names.update(factor.state_names)
+    @staticmethod
+    def _contract_out(entries, label, operation):
+        """Contract every entry whose axes contain ``label`` down to their
+        union scope minus ``label``; returns (new entry or None, survivors)."""
+        group = [e for e in entries if label in e[1]]
+        rest = [e for e in entries if label not in e[1]]
+        if not group:
+            return None, rest
+        union = []
+        for _, axes in group:
+            for ax in axes:
+                if ax not in union:
+                    union.append(ax)
+        out = tuple(ax for ax in union if ax != label)
+        arrays = [v for v, _ in group]
+        axes_list = [a for _, a in group]
+        if operation == "marginalize":
+            values = sum_product_planned(axes_list, out, arrays)
+        else:  # maximize: materialize the union-scope product, max-reduce
+            product = sum_product_planned(axes_list, tuple(union), arrays)
+            values = jnp.max(product, axis=union.index(label))
+        return (values, out), rest
 
-        var_to_int, operand_axes = make_axis_map(scopes)
-        missing = [v for v in variables if v not in var_to_int]
-        if missing:
-            raise ValueError(f"Query variables not in reduced model: {missing}")
-        out_axes = tuple(var_to_int[v] for v in variables)
-        values = sum_product_planned(operand_axes, out_axes, arrays)
-        values = values / jnp.sum(values)
-
-        cards = {}
-        for scope, arr in zip(scopes, arrays):
-            for var, dim in zip(scope, arr.shape):
-                cards[var] = dim
-        result = DiscreteFactor(
-            list(variables),
-            [cards[v] for v in variables],
-            values,
-            state_names={v: state_names[v] for v in variables},
-        )
-        if joint:
-            return result
-        return {
-            var: result.marginalize(
-                [v for v in variables if v != var], inplace=False
-            )
-            for var in variables
-        }
-
-    # ------------------------------------------------------------------ #
-    # classic staged elimination (used for maximize + diagnostics)
-    # ------------------------------------------------------------------ #
     def _variable_elimination(
         self,
         variables,
@@ -229,68 +361,95 @@ class VariableElimination(Inference):
         joint=True,
         show_progress=False,
     ):
+        """Eliminate all non-query, non-evidence variables one label at a
+        time (``operation`` is "marginalize" or "maximize")."""
         if isinstance(variables, str):
             raise TypeError("variables must be a list of strings")
         if isinstance(evidence, str):
             raise TypeError("evidence must be a list of strings")
-        common_vars = set(evidence if evidence is not None else []).intersection(
-            set(variables)
-        )
+        common_vars = set(evidence if evidence is not None else []) & set(variables)
         if common_vars:
-            raise ValueError(f"Can't have the same variables in both `variables` and `evidence`. Found in both: {common_vars}")
+            raise ValueError(
+                f"Can't have the same variables in both `variables` and `evidence`. Found in both: {common_vars}"
+            )
 
         if not variables:
-            all_factors = []
-            for factor_li in self.factors.values():
-                all_factors.extend(factor_li)
+            # no query variables: the (unnormalized) product of all factors
+            unique = {}
+            for factor_list in self.factors.values():
+                for factor in factor_list:
+                    unique[id(factor)] = factor
             if joint:
-                return factor_product(*set(all_factors))
-            return set(all_factors)
+                return factor_product(*unique.values())
+            return set(unique.values())
 
-        working_factors = self._get_working_factors(evidence)
-        elimination_order = self._get_elimination_order(
+        order = self._elimination_order_for(
             variables, evidence, elimination_order, show_progress=show_progress
         )
+        entries, var_to_int, label_names, scalar = self._model_entries(evidence)
 
-        eliminated_variables = set()
-        for var in elimination_order:
-            factors = [
-                factor
-                for factor, _ in working_factors[var]
-                if not set(factor.variables).intersection(eliminated_variables)
-            ]
-            phi = factor_product(*factors)
-            phi = getattr(phi, operation)([var], inplace=False)
-            del working_factors[var]
-            for variable in phi.variables:
-                working_factors[variable].add((phi, var))
-            eliminated_variables.add(var)
+        for var in order:
+            entry, entries = self._contract_out(entries, var_to_int[var], operation)
+            if entry is not None:
+                if entry[1]:
+                    entries.append(entry)
+                else:
+                    scalar = scalar * entry[0]
 
-        final_distribution = set()
-        for node in working_factors:
-            for factor, origin in working_factors[node]:
-                if not set(factor.variables).intersection(eliminated_variables):
-                    final_distribution.add((factor, origin))
-        final_distribution = [factor for factor, _ in final_distribution]
+        # combine what's left into the joint over the query variables
+        present = set(itertools.chain.from_iterable(a for _, a in entries))
+        missing = [v for v in variables if var_to_int[v] not in present]
+        if missing:
+            raise ValueError(f"Query variables not present in any factor: {missing}")
+        out_labels = tuple(var_to_int[v] for v in variables)
+        arrays = [v for v, _ in entries]
+        axes_list = [a for _, a in entries]
+        values = sum_product_planned(axes_list, out_labels, arrays) * scalar
 
+        cards = [label_names[var_to_int[v]][1] for v in variables]
+        names = {v: label_names[var_to_int[v]][2] for v in variables}
+        result = DiscreteFactor(list(variables), cards, values, state_names=names)
+
+        normalize = isinstance(self.model, DiscreteBayesianNetwork)
         if joint:
-            if isinstance(self.model, DiscreteBayesianNetwork):
-                return factor_product(*final_distribution).normalize(inplace=False)
-            return factor_product(*final_distribution)
-        query_var_factor = {}
-        if isinstance(self.model, DiscreteBayesianNetwork):
-            for query_var in variables:
-                phi = factor_product(*final_distribution)
-                query_var_factor[query_var] = phi.marginalize(
-                    list(set(variables) - {query_var}), inplace=False
-                ).normalize(inplace=False)
-        else:
-            for query_var in variables:
-                phi = factor_product(*final_distribution)
-                query_var_factor[query_var] = phi.marginalize(
-                    list(set(variables) - {query_var}), inplace=False
-                )
-        return query_var_factor
+            return result.normalize(inplace=False) if normalize else result
+        out = {}
+        for query_var in variables:
+            phi = result.marginalize(
+                [v for v in variables if v != query_var], inplace=False
+            )
+            out[query_var] = phi.normalize(inplace=False) if normalize else phi
+        return out
+
+    # ------------------------------------------------------------------ #
+    # the fused ("greedy") path: compiled per-signature programs
+    # ------------------------------------------------------------------ #
+    def _get_compiled_query(self, variables, ev_vars):
+        token = self.model._cache_token()
+        cache = self.model.__dict__.get("_ve_program_cache")
+        if cache is None or cache[0] != token:
+            cache = (token, {})
+            self.model.__dict__["_ve_program_cache"] = cache
+        key = (tuple(variables), tuple(ev_vars))
+        prog = cache[1].get(key)
+        if prog is None:
+            prog = _CompiledQuery(self, variables, ev_vars)
+            cache[1][key] = prog
+        return prog
+
+    def _fused_query(self, variables, evidence, joint):
+        evidence = evidence or {}
+        ev_vars = sorted(evidence.keys(), key=str)
+        prog = self._get_compiled_query(list(variables), ev_vars)
+        result = prog(evidence)
+        if joint:
+            return result
+        return {
+            var: result.marginalize(
+                [v for v in variables if v != var], inplace=False
+            )
+            for var in variables
+        }
 
     # ------------------------------------------------------------------ #
     # batched queries: one contraction for N evidence rows
@@ -324,7 +483,6 @@ class VariableElimination(Inference):
         model, _ = self._prune_bayesian_model(
             list(variables), {v: 0 for v in ev_vars}
         )
-        cpds = {c.variable: c for c in model.cpds}
 
         arrays, scopes = [], []
         state_names = {}
@@ -367,8 +525,6 @@ class VariableElimination(Inference):
         out_axes = [batch_axis] + [var_to_int[v] for v in variables]
         interleaved.append(out_axes)
 
-        from pgmpy_tpu.ops.einsum import PRECISION
-
         values = jnp.einsum(*interleaved, optimize="greedy", precision=PRECISION)
         norm = jnp.sum(values.reshape(n, -1), axis=1).reshape(
             (n,) + (1,) * len(variables)
@@ -390,7 +546,7 @@ class VariableElimination(Inference):
     ):
         """Posterior P(variables | evidence).
 
-        ``elimination_order="greedy"`` (default) uses the fused single-einsum
+        ``elimination_order="greedy"`` (default) uses the compiled fused
         path; MinFill/MinNeighbors/MinWeight/WeightedMinFill or an explicit
         order run the staged loop.
         """
