@@ -27,8 +27,15 @@ BASELINE_MUNIN_CALIBRATE_S = 3400.0
 
 
 def main():
+    import jax.numpy as jnp
+
     from pgmpy_tpu.inference.bp import BeliefPropagation
     from pgmpy_tpu.utils.utils import get_example_model
+
+    # establish the device connection before any timer: the first device op
+    # pays ~2s of one-time tunnel/runtime initialization that is not a
+    # property of the library
+    jnp.zeros(1).block_until_ready()
 
     t0 = time.time()
     model = get_example_model("munin")
@@ -43,11 +50,26 @@ def main():
     first_s = time.time() - t0
 
     times = []
-    for _ in range(3):
+    for _ in range(7):
         t0 = time.time()
         bp._calibrate_junction_tree("marginalize")
+        # honest wall time: wait for the device program, not just dispatch
+        jax.block_until_ready(bp._raw_beliefs)
         times.append(time.time() - t0)
-    steady = min(times)
+    # median-of-7: robust to background machine noise (driver-recorded r1
+    # numbers regressed ~2x under CPU contention)
+    times.sort()
+    steady = times[len(times) // 2]
+
+    def median_time(fn, reps=3):
+        """Median wall time of ``fn(rep_index)`` — robust to machine noise."""
+        ts = []
+        for i in range(reps):
+            t0 = time.time()
+            fn(i)
+            ts.append(time.time() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
 
     # secondary metrics: ALARM VE query latency + forward-sampling throughput
     secondary = {}
@@ -59,18 +81,28 @@ def main():
         infer.query(
             ["HISTORY"], evidence={"CVP": "LOW", "HR": "HIGH"}, show_progress=False
         )  # warm the compiled contraction
-        t0 = time.time()
-        n_q = 20
-        for _ in range(n_q):
-            infer.query(
-                ["HISTORY"], evidence={"CVP": "LOW", "HR": "HIGH"}, show_progress=False
-            )
-        secondary["alarm_ve_query_ms"] = round((time.time() - t0) / n_q * 1000, 2)
+        n_q = 100
+
+        def ve_round(_):
+            for _ in range(n_q):
+                infer.query(
+                    ["HISTORY"],
+                    evidence={"CVP": "LOW", "HR": "HIGH"},
+                    show_progress=False,
+                )
+
+        secondary["alarm_ve_query_ms"] = round(
+            median_time(ve_round, reps=3) / n_q * 1000, 3
+        )
 
         alarm.simulate(n_samples=100_000, seed=0, show_progress=False)  # warm
-        t0 = time.time()
-        alarm.simulate(n_samples=100_000, seed=1, show_progress=False)
-        secondary["alarm_forward_samples_per_s"] = int(100_000 / (time.time() - t0))
+        t = median_time(
+            lambda i: alarm.simulate(
+                n_samples=100_000, seed=i + 1, show_progress=False
+            ),
+            reps=3,
+        )
+        secondary["alarm_forward_samples_per_s"] = int(100_000 / t)
 
         from pgmpy_tpu.sampling import GibbsSampling
 
@@ -78,11 +110,13 @@ def main():
         import numpy as np
 
         np.asarray(gibbs.sample_chains(n_chains=10_000, size=20, seed=0))  # warm
-        t0 = time.time()
-        np.asarray(gibbs.sample_chains(n_chains=10_000, size=20, seed=1))
-        secondary["alarm_gibbs_10k_chain_sweeps_per_s"] = int(
-            20 * 10_000 / (time.time() - t0)
+        t = median_time(
+            lambda i: np.asarray(
+                gibbs.sample_chains(n_chains=10_000, size=20, seed=i + 1)
+            ),
+            reps=3,
         )
+        secondary["alarm_gibbs_10k_chain_sweeps_per_s"] = int(20 * 10_000 / t)
 
         from pgmpy_tpu.sampling.nuts_jax import VectorizedNUTS
 
@@ -91,14 +125,15 @@ def main():
         nuts = VectorizedNUTS(ecoli, max_depth=5)
         # warm with IDENTICAL static shapes (scan length is baked into the
         # compiled program)
-        nuts.sample(mu.copy(), num_samples=100, num_adapt=20, stepsize=0.17,
-                    n_chains=256, seed=0)
-        t0 = time.time()
         out = nuts.sample(mu.copy(), num_samples=100, num_adapt=20,
-                          stepsize=0.17, n_chains=256, seed=1)
-        secondary["ecoli70_nuts_samples_per_s"] = int(
-            out.shape[0] * out.shape[1] / (time.time() - t0)
+                          stepsize=0.17, n_chains=256, seed=0)
+        n_out = out.shape[0] * out.shape[1]
+        t = median_time(
+            lambda i: nuts.sample(mu.copy(), num_samples=100, num_adapt=20,
+                                  stepsize=0.17, n_chains=256, seed=i + 1),
+            reps=3,
         )
+        secondary["ecoli70_nuts_samples_per_s"] = int(n_out / t)
     except Exception as e:  # secondary metrics must never fail the bench
         secondary["error"] = str(e)[:200]
 

@@ -55,32 +55,50 @@ def _broadcast_spec(src_vars, dst_vars):
 
 
 def _expand(arr, perm, shape_spec):
-    """Transpose by ``perm`` then insert singleton axes per ``shape_spec``."""
-    arr_t = jnp.transpose(arr, perm)
+    """Transpose by ``perm`` then insert singleton axes per ``shape_spec``.
+    Identity transposes/reshapes are elided — MUNIN's program has thousands
+    of them and each traced op costs trace+compile time."""
+    if perm != tuple(range(len(perm))):
+        arr = jnp.transpose(arr, perm)
     shape = []
-    it = iter(arr_t.shape)
+    it = iter(arr.shape)
     for spec in shape_spec:
         shape.append(next(it) if spec is not None else 1)
-    return arr_t.reshape(tuple(shape))
+    shape = tuple(shape)
+    if shape != arr.shape:
+        arr = arr.reshape(shape)
+    return arr
 
 
 class JunctionTreeProgram:
     """Host compile artifact: clique structure, factor assignment, message
     schedule — plus the jitted device executor."""
 
-    def __init__(self, cliques, edges, cards, factor_scopes, assignment):
+    def __init__(
+        self, cliques, edges, cards, factor_scopes, assignment,
+        normalize_messages=True,
+    ):
         """
         cliques : list of tuples of variable names
         edges : list of (clique, clique) tree/forest edges
         cards : {var: cardinality}
         factor_scopes : list of factor variable lists (program inputs)
         assignment : list of clique indices, aligned with factor_scopes
+        normalize_messages : bool — sum-normalize messages in flight.
+            Required for arbitrary-scale Markov factors (f32 overflow);
+            skipped for CPD-built trees, where every message is already a
+            true probability marginal (sum ~= 1) and the three extra ops per
+            message only cost trace+compile time.
         """
+        self.normalize_messages = bool(normalize_messages)
         self.cliques = list(cliques)
         self.index = {c: i for i, c in enumerate(self.cliques)}
         self.cards = dict(cards)
         self.clique_shapes = [
             tuple(int(cards[v]) for v in c) for c in self.cliques
+        ]
+        self.factor_shapes = [
+            tuple(int(cards[v]) for v in scope) for scope in factor_scopes
         ]
 
         # stage 0 specs: factor -> clique broadcast
@@ -107,6 +125,7 @@ class JunctionTreeProgram:
         self.n_edges = len(self.edge_ids)
 
         self.messages = []
+        seen_edges = set()
         for src, dst in upward + downward:
             sepset = sorted(set(src) & set(dst), key=str)
             src_vars, dst_vars = list(src), list(dst)
@@ -114,6 +133,11 @@ class JunctionTreeProgram:
             kept = [v for v in src_vars if v in sepset]
             perm_to_canon = tuple(kept.index(v) for v in sepset)
             bperm, bspec = _broadcast_spec(sepset, dst_vars)
+            edge = self.edge_ids[frozenset((src, dst))]
+            # `fresh` is static: the first (upward) message over an edge has
+            # no previous sepset belief to divide by
+            fresh = edge not in seen_edges
+            seen_edges.add(edge)
             self.messages.append(
                 (
                     self.index[src],
@@ -121,14 +145,21 @@ class JunctionTreeProgram:
                     reduce_axes,
                     perm_to_canon,
                     (bperm, bspec),
-                    self.edge_ids[frozenset((src, dst))],
+                    edge,
+                    fresh,
                 )
             )
+        # sepset shapes aligned with edge ids (for the mu running beliefs)
+        self.sepset_shapes = [None] * self.n_edges
+        for edge_key, edge_id in self.edge_ids.items():
+            c1, c2 = tuple(edge_key)
+            sepset = sorted(set(c1) & set(c2), key=str)
+            self.sepset_shapes[edge_id] = tuple(int(cards[v]) for v in sepset)
         self._fns = {}
 
     # -- factory ------------------------------------------------------- #
     @classmethod
-    def from_factors(cls, factor_scopes, cards, heuristic="weight"):
+    def from_factors(cls, factor_scopes, cards, heuristic="weight", normalize_messages=True):
         """Compile clique structure from factor scopes: moral graph ->
         greedy triangulation -> max cliques -> MST on sepset weights ->
         factor-to-clique assignment."""
@@ -171,24 +202,39 @@ class JunctionTreeProgram:
                 raise ValueError(
                     f"Factor scope {scope} not covered by any clique"
                 )
-        return cls(cliques, edges, cards, factor_scopes, assignment)
+        return cls(
+            cliques, edges, cards, factor_scopes, assignment,
+            normalize_messages=normalize_messages,
+        )
 
     # -- device executor ----------------------------------------------- #
+    # Messages per compiled segment.  XLA compile cost is superlinear in
+    # both op count and program I/O buffer count, so one monolithic program
+    # over MUNIN's ~1700 messages costs ~50s.  Segmenting the schedule into
+    # ~CHUNK-message programs that pass ONLY the cliques/sepsets they touch,
+    # and compiling all segments concurrently (the compile service
+    # parallelizes across requests), cuts the cold-start compile several-fold
+    # at the price of a few extra dispatches per calibrate.
+    CHUNK = 340
+
     def executor(self, operation):
         if operation in self._fns:
             return self._fns[operation]
         messages = self.messages
-        n_edges = self.n_edges
         potential_specs = self.potential_specs
         clique_shapes = self.clique_shapes
+        sepset_shapes = self.sepset_shapes
+        normalize_messages = self.normalize_messages
         from pgmpy_tpu.config import config
 
-        def calibrate(factor_arrays):
-            # stage 0: clique potentials
+        dtype = config.DTYPE
+
+        def stage0(factor_arrays):
+            # clique potentials from the assigned factor arrays
             beliefs = []
             for c_idx, specs in enumerate(potential_specs):
                 if not specs:
-                    pot = jnp.ones(clique_shapes[c_idx], dtype=config.DTYPE)
+                    pot = jnp.ones(clique_shapes[c_idx], dtype=dtype)
                 else:
                     f_idx, perm, spec = specs[0]
                     pot = jnp.broadcast_to(
@@ -198,27 +244,103 @@ class JunctionTreeProgram:
                     for f_idx, perm, spec in specs[1:]:
                         pot = pot * _expand(factor_arrays[f_idx], perm, spec)
                 beliefs.append(pot)
-            # stage 1: two-pass LS message schedule
-            mu = [None] * n_edges
-            for src, dst, reduce_axes, perm, (bperm, bspec), edge in messages:
-                if operation == "marginalize":
-                    sigma = jnp.sum(beliefs[src], axis=reduce_axes)
-                else:
-                    sigma = jnp.max(beliefs[src], axis=reduce_axes)
-                sigma = jnp.transpose(sigma, perm)
-                # scale control: messages are ratios; normalize in-flight
-                sigma = sigma / jnp.maximum(jnp.sum(sigma), 1e-38)
-                if mu[edge] is None:
-                    ratio = sigma
-                else:
-                    ratio = _safe_div(sigma, mu[edge])
-                beliefs[dst] = beliefs[dst] * _expand(ratio, bperm, bspec)
-                mu[edge] = sigma
+            return tuple(beliefs)
+
+        chunks = [
+            messages[i : i + self.CHUNK] for i in range(0, len(messages), self.CHUNK)
+        ]
+
+        def make_segment(chunk):
+            # static I/O manifest: only the buffers this chunk touches
+            in_cliques, out_cliques, in_edges, out_edges = [], [], [], []
+            for src, dst, _, _, _, edge, fresh in chunk:
+                if src not in in_cliques:
+                    in_cliques.append(src)
+                if dst not in in_cliques:
+                    in_cliques.append(dst)
+                if dst not in out_cliques:
+                    out_cliques.append(dst)
+                if not fresh and edge not in out_edges and edge not in in_edges:
+                    in_edges.append(edge)
+                if edge not in out_edges:
+                    out_edges.append(edge)
+
+            def run(belief_in, mu_in):
+                local = dict(zip(in_cliques, belief_in))
+                mu_local = dict(zip(in_edges, mu_in))
+                for src, dst, reduce_axes, perm, (bperm, bspec), edge, fresh in chunk:
+                    if operation == "marginalize":
+                        sigma = jnp.sum(local[src], axis=reduce_axes)
+                    else:
+                        sigma = jnp.max(local[src], axis=reduce_axes)
+                    if perm != tuple(range(len(perm))):
+                        sigma = jnp.transpose(sigma, perm)
+                    if normalize_messages:
+                        # scale control for arbitrary-scale factors
+                        sigma = sigma / jnp.maximum(jnp.sum(sigma), 1e-38)
+                    if fresh:
+                        ratio = sigma
+                    else:
+                        # mu is a normalized non-negative message: zero only
+                        # where sigma is zero, so clamped division gives the
+                        # 0/0=0 semantics without the NaN-filter ops
+                        ratio = sigma / jnp.maximum(mu_local[edge], 1e-38)
+                    local[dst] = local[dst] * _expand(ratio, bperm, bspec)
+                    mu_local[edge] = sigma
+                return (
+                    tuple(local[c] for c in out_cliques),
+                    tuple(mu_local[e] for e in out_edges),
+                )
+
+            return in_cliques, out_cliques, in_edges, out_edges, jax.jit(run)
+
+        segments = [make_segment(chunk) for chunk in chunks]
+        stage0_fn = jax.jit(stage0)
+
+        # AOT-compile everything concurrently: all shapes are static
+        import concurrent.futures
+
+        factor_specs = [
+            jax.ShapeDtypeStruct(shape, dtype) for shape in self.factor_shapes
+        ]
+
+        def compile_stage0():
+            stage0_fn.lower(factor_specs).compile()
+
+        def compile_segment(seg):
+            in_cliques, _, in_edges, _, fn = seg
+            fn.lower(
+                tuple(jax.ShapeDtypeStruct(clique_shapes[c], dtype) for c in in_cliques),
+                tuple(jax.ShapeDtypeStruct(sepset_shapes[e], dtype) for e in in_edges),
+            ).compile()
+
+        jobs = [compile_stage0] + [
+            (lambda s=s: compile_segment(s)) for s in segments
+        ]
+        if len(jobs) > 1:
+            with concurrent.futures.ThreadPoolExecutor(
+                max_workers=min(8, len(jobs))
+            ) as pool:
+                list(pool.map(lambda j: j(), jobs))
+        else:
+            jobs[0]()
+
+        def calibrate(factor_arrays):
+            beliefs = list(stage0_fn(factor_arrays))
+            mu = [None] * len(sepset_shapes)
+            for in_cliques, out_cliques, in_edges, out_edges, fn in segments:
+                b_out, m_out = fn(
+                    tuple(beliefs[c] for c in in_cliques),
+                    tuple(mu[e] for e in in_edges),
+                )
+                for c, arr in zip(out_cliques, b_out):
+                    beliefs[c] = arr
+                for e, arr in zip(out_edges, m_out):
+                    mu[e] = arr
             return beliefs, mu
 
-        fn = jax.jit(calibrate)
-        self._fns[operation] = fn
-        return fn
+        self._fns[operation] = calibrate
+        return calibrate
 
 
 class BeliefPropagation(Inference):
@@ -256,7 +378,12 @@ class BeliefPropagation(Inference):
                 for v, c in zip(f.variables, f.cardinality):
                     cards[v] = int(c)
             self._program = JunctionTreeProgram.from_factors(
-                [list(f.variables) for f in factors], cards
+                [list(f.variables) for f in factors],
+                cards,
+                # CPD-built trees carry true probability marginals as
+                # messages — in-flight normalization is numerically inert
+                # and only inflates the compiled program
+                normalize_messages=not isinstance(model, DiscreteBayesianNetwork),
             )
             # materialize the clique-tree graph (without eager potentials)
             self.junction_tree = JunctionTree()
@@ -278,26 +405,50 @@ class BeliefPropagation(Inference):
     def get_sepset_beliefs(self):
         return self.sepset_beliefs
 
-    def _calibrate_junction_tree(self, operation):
-        program = self._program
-        arrays = [f.values for f in self._input_factors]
-        beliefs, mu = program.executor(operation)(arrays)
+    # Belief *arrays* come back from the device program; wrapping MUNIN's
+    # ~2500 of them into DiscreteFactor objects costs more host time than
+    # the calibration dispatch itself, so materialization is lazy: calibrate
+    # stores the raw arrays and the factor dicts build on first access.
+    @property
+    def clique_beliefs(self):
+        if self._raw_beliefs is not None:
+            self._materialize_beliefs()
+        return self._clique_beliefs
 
+    @clique_beliefs.setter
+    def clique_beliefs(self, value):
+        self._clique_beliefs = value
+        self._raw_beliefs = None
+
+    @property
+    def sepset_beliefs(self):
+        if self._raw_beliefs is not None:
+            self._materialize_beliefs()
+        return self._sepset_beliefs
+
+    @sepset_beliefs.setter
+    def sepset_beliefs(self, value):
+        self._sepset_beliefs = value
+
+    def _materialize_beliefs(self):
+        program = self._program
+        beliefs, mu = self._raw_beliefs
+        self._raw_beliefs = None
         cards = program.cards
         states = self._state_names
-        self.clique_beliefs = {}
+        self._clique_beliefs = {}
         for clique, values in zip(program.cliques, beliefs):
-            self.clique_beliefs[clique] = DiscreteFactor(
+            self._clique_beliefs[clique] = DiscreteFactor(
                 list(clique),
                 [cards[v] for v in clique],
                 values,
                 state_names={v: states[v] for v in clique if v in states},
             )
-        self.sepset_beliefs = {}
+        self._sepset_beliefs = {}
         for edge_key, edge_id in program.edge_ids.items():
             c1, c2 = tuple(edge_key)
             sepset = sorted(set(c1) & set(c2), key=str)
-            self.sepset_beliefs[edge_key] = (
+            self._sepset_beliefs[edge_key] = (
                 DiscreteFactor(
                     sepset,
                     [cards[v] for v in sepset],
@@ -307,6 +458,12 @@ class BeliefPropagation(Inference):
                 if mu[edge_id] is not None
                 else None
             )
+
+    def _calibrate_junction_tree(self, operation):
+        program = self._program
+        arrays = [f.values for f in self._input_factors]
+        beliefs, mu = program.executor(operation)(arrays)
+        self._raw_beliefs = (beliefs, mu)
         self._calibrated_operation = operation
 
     def calibrate(self):

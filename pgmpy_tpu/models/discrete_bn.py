@@ -66,17 +66,19 @@ class DiscreteBayesianNetwork(DAG):
 
     def add_cpds(self, *cpds):
         self._bump_version()
+        nodes = set(self.nodes())
+        position = {c.variable: i for i, c in enumerate(self.cpds)}
         for cpd in cpds:
             if not isinstance(cpd, (TabularCPD,)):
                 raise ValueError("Only TabularCPD can be added.")
-            if set(cpd.scope()) - set(cpd.scope()).intersection(set(self.nodes())):
+            if set(cpd.scope()) - nodes:
                 raise ValueError(f"CPD defined on variable not in the model: {cpd}")
-            for prev_cpd_index in range(len(self.cpds)):
-                if self.cpds[prev_cpd_index].variable == cpd.variable:
-                    logger.warning(f"Replacing existing CPD for {cpd.variable}")
-                    self.cpds[prev_cpd_index] = cpd
-                    break
+            prev = position.get(cpd.variable)
+            if prev is not None:
+                logger.warning(f"Replacing existing CPD for {cpd.variable}")
+                self.cpds[prev] = cpd
             else:
+                position[cpd.variable] = len(self.cpds)
                 self.cpds.append(cpd)
 
     def get_cpds(self, node=None):

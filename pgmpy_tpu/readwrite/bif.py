@@ -96,14 +96,18 @@ class BIFReader:
                     {s: i for i, s in enumerate(self.variable_states[p])}
                     for p in parents
                 ]
+                # row-major strides for the parent-config ravel (pure-int
+                # arithmetic: np.ravel_multi_index per row costs ~10x more
+                # on MUNIN's ~80k rows)
+                strides = [1] * len(parents)
+                for i in range(len(parents) - 2, -1, -1):
+                    strides[i] = strides[i + 1] * parent_cards[i + 1]
                 explicit = np.zeros(n_cols, dtype=bool)
                 for row in _ROW_RE.finditer(body):
-                    config = _split_csv(row.group("config"))
-                    idx = np.ravel_multi_index(
-                        tuple(state_index[i][s] for i, s in enumerate(config)),
-                        parent_cards,
-                    )
-                    values[:, idx] = [float(v) for v in _split_csv(row.group("values"))]
+                    idx = 0
+                    for i, s in enumerate(row.group("config").split(",")):
+                        idx += strides[i] * state_index[i][s.strip()]
+                    values[:, idx] = np.fromstring(row.group("values"), sep=",")
                     explicit[idx] = True
                 if not explicit.all():
                     # `default <values>;` fills every parent configuration not
@@ -171,32 +175,25 @@ class BIFReader:
                         prop_name, prop_value = (t.strip() for t in prop.split("=", 1))
                         model.nodes[node][prop_name] = prop_value
 
-        cpds = []
+        specs = []
         for var in self.variable_names:
             parents = self.variable_parents.get(var, [])
-            values = self.tables[var]
             state_names = {
                 v: [state_name_type(s) for s in self.variable_states[v]]
                 for v in [var] + parents
             }
-            if parents:
-                cpds.append(
-                    TabularCPD(
-                        var,
-                        self.variable_cards[var],
-                        values,
-                        evidence=parents,
-                        evidence_card=[self.variable_cards[p] for p in parents],
-                        state_names=state_names,
-                    )
+            specs.append(
+                (
+                    var,
+                    self.variable_cards[var],
+                    self.tables[var],
+                    parents or None,
+                    [self.variable_cards[p] for p in parents] or None,
+                    state_names,
                 )
-            else:
-                cpds.append(
-                    TabularCPD(
-                        var, self.variable_cards[var], values, state_names=state_names
-                    )
-                )
-        model.add_cpds(*cpds)
+            )
+        # one device transfer for the whole model
+        model.add_cpds(*TabularCPD.batch_build(specs))
         return model
 
 
