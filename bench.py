@@ -122,15 +122,15 @@ def main():
 
         ecoli = get_example_model("ecoli70")
         _, mu, _ = ecoli.to_joint_gaussian()
-        nuts = VectorizedNUTS(ecoli, max_depth=5)
+        nuts = VectorizedNUTS(ecoli, max_depth=6)
         # warm with IDENTICAL static shapes (scan length is baked into the
         # compiled program)
-        out = nuts.sample(mu.copy(), num_samples=100, num_adapt=20,
-                          stepsize=0.17, n_chains=256, seed=0)
+        out = nuts.sample(mu.copy(), num_samples=120, num_adapt=20,
+                          stepsize=0.17, n_chains=1024, seed=0)
         n_out = out.shape[0] * out.shape[1]
         t = median_time(
-            lambda i: nuts.sample(mu.copy(), num_samples=100, num_adapt=20,
-                                  stepsize=0.17, n_chains=256, seed=i + 1),
+            lambda i: nuts.sample(mu.copy(), num_samples=120, num_adapt=20,
+                                  stepsize=0.17, n_chains=1024, seed=i + 1),
             reps=3,
         )
         secondary["ecoli70_nuts_samples_per_s"] = int(n_out / t)

@@ -152,7 +152,7 @@ def _nuts_chains_local(nuts, key, init, num_samples, num_adapt, stepsize, axis_n
         eps = jnp.exp(log_eps)
         chain_keys = jax.random.split(key_t, positions.shape[0])
         positions, accept_stats = jax.vmap(
-            lambda k, q: nuts._nuts_step(k, q, eps)
+            lambda k, q: nuts._nuts_step(k, q, eps, axis_name=axis_name)
         )(chain_keys, positions)
         mean_accept = jax.lax.pmean(jnp.mean(accept_stats), axis_name)
         adapting = m < num_adapt

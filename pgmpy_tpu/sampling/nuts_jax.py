@@ -1,17 +1,21 @@
 """VectorizedNUTS: fully-compiled multinomial No-U-Turn sampler.
 
 The host-recursive NUTS in ``hmc.py`` keeps reference-style semantics but
-cannot vmap over chains.  This implementation unrolls the tree doubling
-STATICALLY at trace time (every one of the 2^max_depth leapfrog steps is
-traced; stopped subtrees are masked out), which makes the whole sampler —
-dual-averaging warmup included — one ``lax.scan`` program that ``vmap``s
-over thousands of chains.  Wasted leapfrog work relative to adaptive
-recursion is bounded by 2^max_depth / E[tree size]; with 10k vmapped
-chains the TPU throughput dwarfs it.
+cannot vmap over chains.  This implementation builds the trajectory tree
+ITERATIVELY (two nested ``lax.while_loop``s: progressive doublings outside,
+leaf-at-a-time subtree growth inside) so the compiled program contains
+exactly ONE leapfrog step regardless of ``max_depth`` — no 2^depth trace
+unroll, no compile-time cliff at deep trees.  Within-subtree U-turn checks
+use the O(log n)-memory momentum-checkpoint scheme (store a checkpoint at
+every even leaf, check each completed power-of-two subtree at every odd
+leaf).  The whole sampler — dual-averaging warmup included — is one
+``lax.scan`` program that ``vmap``s over thousands of chains.
 
 Algorithm: multinomial NUTS (Betancourt 2017) with progressive biased
-proposal sampling, joint-tree U-turn checks, divergence cap 1000, and
-Hoffman-Gelman dual averaging on the mean leaf acceptance statistic.
+proposal sampling, the generalized momentum-sum no-U-turn criterion,
+divergence cap 1000, and Hoffman-Gelman dual averaging on the mean leaf
+acceptance statistic.  (The reference ships only HMC scaffolding,
+``/root/reference/pgmpy/sampling/base.py:162-616`` — no NUTS to match.)
 """
 
 import numpy as np
@@ -24,6 +28,47 @@ from pgmpy_tpu.sampling.hmc import _resolve_log_pdf
 _DELTA_MAX = 1000.0
 
 
+def _is_turning(r_first, r_last, rho):
+    """Generalized no-U-turn criterion on the momentum sum ``rho``."""
+    return (jnp.dot(rho, r_first) <= 0) | (jnp.dot(rho, r_last) <= 0)
+
+
+def _popcount(n):
+    return jax.lax.population_count(n.astype(jnp.uint32)).astype(jnp.int32)
+
+
+def _vary(tree, axis_name):
+    """Mark while_loop init carries as device-varying under shard_map.
+
+    Loop bodies mix the carry with per-device data, so constant inits must
+    be pcast to the varying type; leaves that are already varying pass
+    through untouched."""
+    if axis_name is None:
+        return tree
+
+    def mark(x):
+        try:
+            if axis_name in jax.typeof(x).vma:
+                return x
+        except (AttributeError, TypeError):
+            pass
+        return jax.lax.pcast(x, axis_name, to="varying")
+
+    return jax.tree_util.tree_map(mark, tree)
+
+
+def _ckpt_range(n):
+    """Checkpoint indices whose subtrees END at odd leaf ``n``.
+
+    A checkpoint is stored at every even leaf (index ``popcount(n >> 1)``);
+    leaf ``n`` with ``t`` trailing one-bits closes ``t`` nested power-of-two
+    subtrees, checked against checkpoints ``idx_max - t + 1 .. idx_max``.
+    """
+    idx_max = _popcount(n >> 1)
+    trailing_ones = _popcount(n ^ (n + 1)) - 1
+    return idx_max - trailing_ones + 1, idx_max
+
+
 class VectorizedNUTS:
     def __init__(self, model, max_depth=6, delta=0.8):
         self.log_pdf, self.variables = _resolve_log_pdf(model)
@@ -32,141 +77,190 @@ class VectorizedNUTS:
         self.delta = float(delta)
 
     # ------------------------------------------------------------------ #
-    def _leaf(self, z, r, g, direction, eps, energy0):
-        """One leapfrog step in ``direction``; returns a tree dict."""
-        r_half = r + 0.5 * direction * eps * g
-        z_new = z + direction * eps * r_half
+    def _leapfrog(self, z, r, g, eps):
+        """One forward leapfrog step (momenta already time-oriented)."""
+        r_half = r + 0.5 * eps * g
+        z_new = z + eps * r_half
         g_new = self._grad(z_new)
-        r_new = r_half + 0.5 * direction * eps * g_new
-        energy = self.log_pdf(z_new) - 0.5 * jnp.sum(r_new**2)
-        delta_energy = energy - energy0
-        diverging = delta_energy < -_DELTA_MAX
-        logw = jnp.where(diverging, -jnp.inf, delta_energy)
-        accept_stat = jnp.minimum(1.0, jnp.exp(delta_energy))
-        return {
-            "z_minus": z_new, "r_minus": r_new, "g_minus": g_new,
-            "z_plus": z_new, "r_plus": r_new, "g_plus": g_new,
-            "z_prop": z_new, "logw": logw,
-            "turning": jnp.asarray(False), "diverging": diverging,
-            "sum_accept": accept_stat, "n_leaf": jnp.asarray(1.0),
+        r_new = r_half + 0.5 * eps * g_new
+        return z_new, r_new, g_new
+
+    def _build_subtree(self, n_leaves, z, r, g, eps, energy0, key, axis_name=None):
+        """Grow a subtree of up to ``n_leaves`` leapfrog steps from (z, r, g)
+        (momenta in forward-time orientation; the caller flips signs for
+        backward growth).  Early-exits on internal U-turn or divergence."""
+        dim = z.shape[0]
+        md = self.max_depth
+
+        dt = z.dtype
+        init = {
+            "key": key,
+            "n": jnp.asarray(0, dtype=jnp.int32),
+            "z": z, "r": r, "g": g,
+            "z_prop": z,
+            "logw": jnp.asarray(-jnp.inf, dtype=dt),
+            "rho": jnp.zeros(dim, dtype=dt),
+            "r_first": r,
+            "r_ckpts": jnp.zeros((md, dim), dtype=dt),
+            "rho_ckpts": jnp.zeros((md, dim), dtype=dt),
+            "turning": jnp.asarray(False),
+            "diverging": jnp.asarray(False),
+            "sum_accept": jnp.asarray(0.0, dtype=dt),
+            "n_leaf": jnp.asarray(0.0, dtype=dt),
         }
+        init = _vary(init, axis_name)
 
-    def _uturn(self, z_minus, r_minus, z_plus, r_plus):
-        dz = z_plus - z_minus
-        return (jnp.dot(dz, r_minus) < 0) | (jnp.dot(dz, r_plus) < 0)
+        def cond(s):
+            return (s["n"] < n_leaves) & ~s["turning"] & ~s["diverging"]
 
-    def _combine(self, first, second, direction, key):
-        """Merge two same-direction subtrees (first grown before second)."""
-        # proposal: multinomial between the two subtrees
-        logw_total = jnp.logaddexp(first["logw"], second["logw"])
-        p_second = jnp.exp(second["logw"] - logw_total)
-        take_second = jax.random.uniform(key) < p_second
-        z_prop = jnp.where(take_second, second["z_prop"], first["z_prop"])
+        def body(s):
+            key, key_take = jax.random.split(s["key"])
+            n = s["n"]
+            z_new, r_new, g_new = self._leapfrog(s["z"], s["r"], s["g"], eps)
+            energy = self.log_pdf(z_new) - 0.5 * jnp.sum(r_new**2)
+            delta_energy = energy - energy0
+            diverging = delta_energy < -_DELTA_MAX
+            logw_leaf = jnp.where(diverging, -jnp.inf, delta_energy)
+            accept_stat = jnp.minimum(1.0, jnp.exp(delta_energy))
 
-        # spatial ends: with direction=+1 first holds the minus end;
-        # with direction=-1 the roles flip
-        def pick(a, b):
-            return jax.tree_util.tree_map(
-                lambda x, y: jnp.where(direction > 0, x, y), a, b
+            # progressive multinomial proposal within the subtree
+            logw_new = jnp.logaddexp(s["logw"], logw_leaf)
+            p_leaf = jnp.where(
+                jnp.isneginf(logw_new), 0.0, jnp.exp(logw_leaf - logw_new)
+            )
+            take = jax.random.uniform(key_take) < p_leaf
+            z_prop = jnp.where(take, z_new, s["z_prop"])
+
+            rho_new = s["rho"] + r_new
+            r_first = jnp.where(n == 0, r_new, s["r_first"])
+
+            idx_min, idx_max = _ckpt_range(n)
+            is_even = (n % 2) == 0
+            r_ckpts = jnp.where(
+                is_even, s["r_ckpts"].at[idx_max].set(r_new), s["r_ckpts"]
+            )
+            rho_ckpts = jnp.where(
+                is_even, s["rho_ckpts"].at[idx_max].set(rho_new), s["rho_ckpts"]
             )
 
-        z_minus = pick(first["z_minus"], second["z_minus"])
-        r_minus = pick(first["r_minus"], second["r_minus"])
-        g_minus = pick(first["g_minus"], second["g_minus"])
-        z_plus = pick(second["z_plus"], first["z_plus"])
-        r_plus = pick(second["r_plus"], first["r_plus"])
-        g_plus = pick(second["g_plus"], first["g_plus"])
+            def check_turning(_):
+                def t_cond(it):
+                    i, turning = it
+                    return (i >= idx_min) & ~turning
+                def t_body(it):
+                    i, _ = it
+                    rho_sub = rho_new - rho_ckpts[i] + r_ckpts[i]
+                    return i - 1, _is_turning(r_ckpts[i], r_new, rho_sub)
+                _, turning = jax.lax.while_loop(
+                    t_cond, t_body, (idx_max, _vary(jnp.asarray(False), axis_name))
+                )
+                return turning
 
-        turning = (
-            first["turning"]
-            | second["turning"]
-            | self._uturn(z_minus, r_minus, z_plus, r_plus)
-        )
-        return {
-            "z_minus": z_minus, "r_minus": r_minus, "g_minus": g_minus,
-            "z_plus": z_plus, "r_plus": r_plus, "g_plus": g_plus,
-            "z_prop": z_prop, "logw": logw_total,
-            "turning": turning,
-            "diverging": first["diverging"] | second["diverging"],
-            "sum_accept": first["sum_accept"] + second["sum_accept"],
-            "n_leaf": first["n_leaf"] + second["n_leaf"],
-        }
+            turning = jax.lax.cond(
+                is_even,
+                lambda _: _vary(jnp.asarray(False), axis_name),
+                check_turning,
+                None,
+            )
 
-    def _build_tree(self, depth, z, r, g, direction, eps, energy0, key):
-        """Static recursion: exactly 2^depth traced leapfrog steps."""
-        if depth == 0:
-            return self._leaf(z, r, g, direction, eps, energy0)
-        key1, key2, key_mix = jax.random.split(key, 3)
-        first = self._build_tree(depth - 1, z, r, g, direction, eps, energy0, key1)
-        # grow from first's far end (direction-dependent)
-        z2 = jnp.where(direction > 0, first["z_plus"], first["z_minus"])
-        r2 = jnp.where(direction > 0, first["r_plus"], first["r_minus"])
-        g2 = jnp.where(direction > 0, first["g_plus"], first["g_minus"])
-        second = self._build_tree(depth - 1, z2, r2, g2, direction, eps, energy0, key2)
-        return self._combine(first, second, direction, key_mix)
+            return {
+                "key": key,
+                "n": n + 1,
+                "z": z_new, "r": r_new, "g": g_new,
+                "z_prop": z_prop,
+                "logw": logw_new,
+                "rho": rho_new,
+                "r_first": r_first,
+                "r_ckpts": r_ckpts,
+                "rho_ckpts": rho_ckpts,
+                "turning": s["turning"] | turning,
+                "diverging": s["diverging"] | diverging,
+                "sum_accept": s["sum_accept"] + accept_stat,
+                "n_leaf": s["n_leaf"] + 1.0,
+            }
+
+        return jax.lax.while_loop(cond, body, init)
 
     # ------------------------------------------------------------------ #
-    def _nuts_step(self, key, z, eps):
+    def _nuts_step(self, key, z, eps, axis_name=None):
         dim = z.shape[0]
-        key_r, key_dirs, key_trees, key_bias = jax.random.split(key, 4)
+        key, key_r = jax.random.split(key)
         r0 = jax.random.normal(key_r, (dim,))
         g0 = self._grad(z)
         energy0 = self.log_pdf(z) - 0.5 * jnp.sum(r0**2)
 
-        state = {
-            "z_minus": z, "r_minus": r0, "g_minus": g0,
-            "z_plus": z, "r_plus": r0, "g_plus": g0,
-            "z_prop": z, "logw": jnp.asarray(0.0),
+        dt = z.dtype
+        init = {
+            "key": key,
+            "depth": jnp.asarray(0, dtype=jnp.int32),
+            "z_left": z, "r_left": r0, "g_left": g0,
+            "z_right": z, "r_right": r0, "g_right": g0,
+            "rho": r0,
+            "z_prop": z,
+            "logw": jnp.asarray(0.0, dtype=dt),
             "stopped": jnp.asarray(False),
-            "sum_accept": jnp.asarray(0.0), "n_leaf": jnp.asarray(0.0),
+            "sum_accept": jnp.asarray(0.0, dtype=dt),
+            "n_leaf": jnp.asarray(0.0, dtype=dt),
         }
-        dirs = jax.random.rademacher(key_dirs, (self.max_depth,)) if hasattr(
-            jax.random, "rademacher"
-        ) else jnp.where(
-            jax.random.bernoulli(key_dirs, 0.5, (self.max_depth,)), 1, -1
-        )
-        tree_keys = jax.random.split(key_trees, self.max_depth)
-        bias_keys = jax.random.split(key_bias, self.max_depth)
+        init = _vary(init, axis_name)
 
-        for j in range(self.max_depth):
-            direction = dirs[j].astype(z.dtype)
-            z_from = jnp.where(direction > 0, state["z_plus"], state["z_minus"])
-            r_from = jnp.where(direction > 0, state["r_plus"], state["r_minus"])
-            g_from = jnp.where(direction > 0, state["g_plus"], state["g_minus"])
-            subtree = self._build_tree(
-                j, z_from, r_from, g_from, direction, eps, energy0, tree_keys[j]
+        def cond(s):
+            return (s["depth"] < self.max_depth) & ~s["stopped"]
+
+        def body(s):
+            key, key_dir, key_tree, key_bias = jax.random.split(s["key"], 4)
+            go_right = jax.random.bernoulli(key_dir)
+            d = jnp.where(go_right, 1.0, -1.0)
+
+            z_e = jnp.where(go_right, s["z_right"], s["z_left"])
+            r_e = jnp.where(go_right, s["r_right"], s["r_left"])
+            g_e = jnp.where(go_right, s["g_right"], s["g_left"])
+
+            # backward growth = forward integration with negated momentum
+            sub = self._build_subtree(
+                jnp.asarray(2, jnp.int32) ** s["depth"],
+                z_e, d * r_e, g_e, eps, energy0, key_tree,
+                axis_name=axis_name,
             )
-            valid = (~state["stopped"]) & (~subtree["turning"]) & (~subtree["diverging"])
-            # biased progressive sampling: accept the new subtree's proposal
+            valid = ~sub["turning"] & ~sub["diverging"]
+
+            # biased progressive coupling: take the new half's proposal
             # w.p. min(1, W_new / W_old)
-            accept_p = jnp.exp(jnp.minimum(0.0, subtree["logw"] - state["logw"]))
-            take = valid & (jax.random.uniform(bias_keys[j]) < accept_p)
-            state["z_prop"] = jnp.where(take, subtree["z_prop"], state["z_prop"])
-            state["logw"] = jnp.where(
-                valid, jnp.logaddexp(state["logw"], subtree["logw"]), state["logw"]
-            )
+            accept_p = jnp.exp(jnp.minimum(0.0, sub["logw"] - s["logw"]))
+            take = valid & (jax.random.uniform(key_bias) < accept_p)
+            z_prop = jnp.where(take, sub["z_prop"], s["z_prop"])
+            logw = jnp.where(valid, jnp.logaddexp(s["logw"], sub["logw"]), s["logw"])
 
-            # extend the grown end only
-            for end in ["z", "r", "g"]:
-                plus_new = jnp.where(valid & (direction > 0), subtree[f"{end}_plus"], state[f"{end}_plus"])
-                minus_new = jnp.where(valid & (direction < 0), subtree[f"{end}_minus"], state[f"{end}_minus"])
-                state[f"{end}_plus"] = plus_new
-                state[f"{end}_minus"] = minus_new
+            # update the grown end (forward-time momentum = d * signed)
+            upd = valid & go_right
+            z_right = jnp.where(upd, sub["z"], s["z_right"])
+            r_right = jnp.where(upd, d * sub["r"], s["r_right"])
+            g_right = jnp.where(upd, sub["g"], s["g_right"])
+            upd = valid & ~go_right
+            z_left = jnp.where(upd, sub["z"], s["z_left"])
+            r_left = jnp.where(upd, d * sub["r"], s["r_left"])
+            g_left = jnp.where(upd, sub["g"], s["g_left"])
 
-            state["sum_accept"] = state["sum_accept"] + jnp.where(
-                state["stopped"], 0.0, subtree["sum_accept"]
-            )
-            state["n_leaf"] = state["n_leaf"] + jnp.where(
-                state["stopped"], 0.0, subtree["n_leaf"]
-            )
-            whole_turn = self._uturn(
-                state["z_minus"], state["r_minus"], state["z_plus"], state["r_plus"]
-            )
-            state["stopped"] = (
-                state["stopped"] | subtree["turning"] | subtree["diverging"] | whole_turn
-            )
-        accept_stat = state["sum_accept"] / jnp.maximum(state["n_leaf"], 1.0)
-        return state["z_prop"], accept_stat
+            rho = jnp.where(valid, s["rho"] + d * sub["rho"], s["rho"])
+            whole_turn = _is_turning(r_left, r_right, rho)
+            stopped = ~valid | whole_turn
+
+            return {
+                "key": key,
+                "depth": s["depth"] + 1,
+                "z_left": z_left, "r_left": r_left, "g_left": g_left,
+                "z_right": z_right, "r_right": r_right, "g_right": g_right,
+                "rho": rho,
+                "z_prop": z_prop,
+                "logw": logw,
+                "stopped": stopped,
+                "sum_accept": s["sum_accept"] + sub["sum_accept"],
+                "n_leaf": s["n_leaf"] + sub["n_leaf"],
+            }
+
+        final = jax.lax.while_loop(cond, body, init)
+        accept_stat = final["sum_accept"] / jnp.maximum(final["n_leaf"], 1.0)
+        return final["z_prop"], accept_stat
 
     # ------------------------------------------------------------------ #
     def sample(
@@ -203,7 +297,7 @@ class VectorizedNUTS:
             eps = jnp.exp(log_eps)
             chain_keys = jax.random.split(key_t, positions.shape[0])
             positions, accept_stats = jax.vmap(
-                lambda k, q: self._nuts_step(k, q, eps)
+                lambda k, q: self._nuts_step(k, q, eps, axis_name=axis_name)
             )(chain_keys, positions)
             mean_accept = jnp.mean(accept_stats)
             if axis_name is not None:
