@@ -479,52 +479,75 @@ class VariableElimination(Inference):
             raise ValueError("query_batch requires evidence; use query() otherwise")
         n = len(next(iter(evidence.values())))
         ev_vars = sorted(evidence.keys(), key=str)
+        ev_set = set(ev_vars)
 
         model, _ = self._prune_bayesian_model(
             list(variables), {v: 0 for v in ev_vars}
         )
 
-        arrays, scopes = [], []
         state_names = {}
         cards = {}
         for cpd in model.cpds:
-            factor = cpd.to_factor()
-            arrays.append(factor.values)
-            scopes.append(list(factor.variables))
-            state_names.update(factor.state_names)
-            for var, card in zip(factor.variables, factor.cardinality):
+            state_names.update(cpd.state_names)
+            for var, card in zip(cpd.variables, cpd.cardinality):
                 cards[var] = int(card)
 
-        # one-hot delta factors with a shared leading batch axis
-        deltas = []
+        # per-row evidence state codes
+        code_cols = {}
         for var in ev_vars:
             if var not in cards:
                 raise ValueError(f"Evidence variable {var} pruned out of the model")
             names = state_names[var]
-            codes = np.asarray(
-                [
-                    names.index(s)
-                    if s in names
-                    else int(s)
-                    for s in evidence[var]
-                ],
+            code_cols[var] = jnp.asarray(
+                [names.index(s) if s in names else int(s) for s in evidence[var]],
                 dtype=np.int32,
             )
-            onehot = jax.nn.one_hot(jnp.asarray(codes), cards[var], dtype=config.DTYPE)
-            deltas.append(onehot)
 
-        var_to_int, operand_axes = make_axis_map(scopes + [[v] for v in ev_vars])
-        batch_axis = len(var_to_int)
+        # gather the evidence axes OUT of each CPT per row: observed axes
+        # never enter the contraction (a one-hot-delta formulation lets the
+        # path planner materialize batch x joint intermediates on wide
+        # evidence sets)
+        arrays, scopes = [], []
+        for cpd in model.cpds:
+            scope = list(cpd.variables)
+            ev_in_scope = [v for v in scope if v in ev_set]
+            if ev_in_scope:
+                codes_rows = jnp.stack([code_cols[v] for v in ev_in_scope], axis=1)
+
+                def slice_one(codes_row, arr=cpd.values, scope=scope, evs=ev_in_scope):
+                    index = []
+                    k = 0
+                    for v in scope:
+                        if v in evs:
+                            index.append(codes_row[k])
+                            k += 1
+                        else:
+                            index.append(slice(None))
+                    return arr[tuple(index)]
+
+                arrays.append(jax.vmap(slice_one)(codes_rows))
+                scopes.append(["__batch__"] + [v for v in scope if v not in ev_set])
+            else:
+                arrays.append(cpd.values)
+                scopes.append(scope)
+
+        var_to_int, operand_axes = make_axis_map(scopes)
+        missing = [v for v in variables if v not in var_to_int]
+        if missing:
+            raise ValueError(f"Query variables not in reduced model: {missing}")
+        out_size = n * int(np.prod([cards[v] for v in variables]))
+        if out_size > 2**31:
+            raise ValueError(
+                f"query_batch output would have {out_size} entries; query fewer "
+                "variables jointly or fewer rows per batch"
+            )
+        out_axes = [var_to_int["__batch__"]] + [var_to_int[v] for v in variables]
+
         interleaved = []
-        for arr, axes in zip(arrays, operand_axes[: len(arrays)]):
+        for arr, axes in zip(arrays, operand_axes):
             interleaved.append(arr)
             interleaved.append(list(axes))
-        for delta, axes in zip(deltas, operand_axes[len(arrays):]):
-            interleaved.append(delta)
-            interleaved.append([batch_axis, axes[0]])
-        out_axes = [batch_axis] + [var_to_int[v] for v in variables]
         interleaved.append(out_axes)
-
         values = jnp.einsum(*interleaved, optimize="greedy", precision=PRECISION)
         norm = jnp.sum(values.reshape(n, -1), axis=1).reshape(
             (n,) + (1,) * len(variables)

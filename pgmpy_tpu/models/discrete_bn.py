@@ -216,17 +216,22 @@ class DiscreteBayesianNetwork(DAG):
         infer = VariableElimination(self)
         evidence = {col: data[col].tolist() for col in data.columns}
         values, state_names = infer.query_batch(missing_variables, evidence)
-        values = np.asarray(values, dtype=np.float64)
         n = values.shape[0]
-        flat = values.reshape(n, -1)
         if stochastic:
-            rng = np.random.default_rng(seed)
-            probs = flat / flat.sum(axis=1, keepdims=True)
-            picks = np.array(
-                [rng.choice(flat.shape[1], p=probs[i]) for i in range(n)]
+            # one batched categorical draw over the joint posteriors — the
+            # reference loops np.random.choice per row
+            # (ref DiscreteBayesianNetwork.py:731-911)
+            import jax
+            import jax.numpy as jnp
+
+            logits = jnp.log(jnp.maximum(values.reshape(n, -1), 1e-38))
+            picks = np.asarray(
+                jax.random.categorical(
+                    jax.random.PRNGKey(seed if seed is not None else 0), logits
+                )
             )
         else:
-            picks = flat.argmax(axis=1)
+            picks = np.asarray(values, dtype=np.float64).reshape(n, -1).argmax(axis=1)
         cards = [len(state_names[v]) for v in missing_variables]
         codes = np.stack(np.unravel_index(picks, cards), axis=1)
         out = {}

@@ -133,3 +133,32 @@ class TestPredict:
         )
         with pytest.raises(ValueError):
             model.predict(data)
+
+    def test_predict_stochastic_distribution(self):
+        """Stochastic predict draws from the posterior in ONE batched
+        categorical (no per-row host loop); empirical frequencies over many
+        identical rows match the posterior."""
+        model = student_bn()
+        n = 4000
+        data = pd.DataFrame(
+            {"grade": [0] * n, "SAT": [1] * n, "letter": [1] * n, "diff": [0] * n}
+        )
+        preds = model.predict(data, stochastic=True, seed=0)
+        infer = VariableElimination(model)
+        expected = np.asarray(
+            infer.query(
+                ["intel"], evidence={"grade": 0, "SAT": 1, "letter": 1, "diff": 0},
+                show_progress=False,
+            ).values,
+            dtype=np.float64,
+        )
+        freq = preds["intel"].value_counts(normalize=True).reindex([0, 1]).fillna(0)
+        np.testing.assert_allclose(freq.to_numpy(), expected, atol=0.03)
+
+    def test_predict_stochastic_seed_reproducible(self):
+        model = student_bn()
+        data = pd.DataFrame({"grade": [0, 1, 2], "SAT": [1, 0, 1],
+                             "letter": [1, 0, 1], "diff": [0, 1, 0]})
+        p1 = model.predict(data, stochastic=True, seed=42)
+        p2 = model.predict(data, stochastic=True, seed=42)
+        assert p1.equals(p2)
