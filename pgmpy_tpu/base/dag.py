@@ -351,6 +351,7 @@ class DAG(GraphRolesMixin, nx.DiGraph):
         dag = DAG()
         dag.add_nodes_from(self.nodes(data=True))
         dag.add_edges_from(self.edges())
+        dag.latents = set(self.latents)
         return dag
 
     def __eq__(self, other):

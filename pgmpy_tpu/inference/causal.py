@@ -24,14 +24,31 @@ def _powerset(iterable):
 class CausalInference:
     def __init__(self, model):
         from pgmpy_tpu.base.dag import DAG
+        from pgmpy_tpu.models.sem import SEMGraph
 
-        if not isinstance(model, DAG):
+        if isinstance(model, SEMGraph):
+            # identification runs on the FULL graph structure: error nodes
+            # `.v` and correlated-error common causes `..uv` are latent
+            # (ref CausalInference.py:80-95)
+            self.model = model
+            self.observed_variables = frozenset(model.observed)
+            self.latent_variables = set(model.latents)
+            full = model.full_graph_struct
+            dot_nodes = {n for n in full.nodes() if str(n).startswith(".")}
+            self.dag = DAG(latents=set(model.latents) | dot_nodes)
+            self.dag.add_nodes_from(full.nodes())
+            self.dag.add_edges_from(full.edges())
+        elif isinstance(model, DAG):
+            self.model = model
+            self.observed_variables = frozenset(model.nodes()) - model.latents
+            self.latent_variables = set(model.latents)
+            self.dag = model
+        else:
             raise NotImplementedError(
-                "Causal Inference is only implemented for DAGs and Bayesian-network models."
+                "Causal Inference is only implemented for DAGs, Bayesian-network "
+                "models, and SEMGraphs."
             )
-        self.model = model
         self.set_nodes = frozenset()
-        self.observed_variables = frozenset(model.nodes()) - model.latents
 
     def __repr__(self):
         variables = ", ".join(map(str, sorted(self.observed_variables, key=str)))
@@ -46,9 +63,9 @@ class CausalInference:
         if isinstance(Z, (str, int)):
             Z = [Z]
         Z = set(Z)
-        if Z & set(nx.descendants(self.model, X) | {X}):
+        if Z & set(nx.descendants(self.dag, X) | {X}):
             return False
-        backdoor_graph = self.model.copy()
+        backdoor_graph = self.dag.copy()
         for child in list(backdoor_graph.successors(X)):
             backdoor_graph.remove_edge(X, child)
         return not backdoor_graph.is_dconnected(X, Y, observed=list(Z))
@@ -62,7 +79,7 @@ class CausalInference:
         possible = (
             self.observed_variables
             - {X, Y}
-            - set(nx.descendants(self.model, X))
+            - set(nx.descendants(self.dag, X))
         )
         valid = []
         for size in range(len(possible) + 1):
@@ -80,11 +97,11 @@ class CausalInference:
             Z = [Z]
         Z = set(Z or [])
         # 1. Z intercepts all directed paths X -> Y
-        for path in nx.all_simple_paths(self.model, X, Y):
+        for path in nx.all_simple_paths(self.dag, X, Y):
             if not set(path[1:-1]) & Z:
                 return False
         # 2. no unblocked backdoor path X -> z
-        backdoor_graph = self.model.copy()
+        backdoor_graph = self.dag.copy()
         for child in list(backdoor_graph.successors(X)):
             backdoor_graph.remove_edge(X, child)
         for z in Z:
@@ -113,9 +130,9 @@ class CausalInference:
     def get_proper_backdoor_graph(self, X, Y, inplace=False):
         """Remove the first edge of every proper causal path from X to Y."""
         for var in chain(X, Y):
-            if var not in self.model.nodes():
+            if var not in self.dag.nodes():
                 raise ValueError(f"{var} not found in the model.")
-        model = self.model if inplace else self.model.copy()
+        model = self.dag if inplace else self.dag.copy()
         edges_to_remove = []
         for x in X:
             for child in model.successors(x):
@@ -155,86 +172,274 @@ class CausalInference:
         return nx.find_minimal_d_separator(backdoor_graph, set(X), set(Y))
 
     # ------------------------------------------------------------------ #
-    # instrumental variables
+    # instrumental variables (MIIV machinery, ref CausalInference.py:308-577)
     # ------------------------------------------------------------------ #
+    def get_scaling_indicators(self):
+        """One observed measurement variable per latent, used to fix the
+        latent's scale (first observed successor, deterministic order)."""
+        scaling_indicators = {}
+        for node in self.latent_variables:
+            for neighbor in sorted(self.dag.successors(node), key=str):
+                if neighbor in self.observed_variables:
+                    scaling_indicators[node] = neighbor
+                    break
+        return scaling_indicators
+
+    def _iv_transformations(self, X, Y, scaling_indicators={}):
+        """Rewrite the full graph so plain d-separation finds the model-
+        implied IVs for estimating X -> Y: sever Y from its structural
+        parents and reroute latent influences through scaling indicators.
+        Returns (transformed graph, dependent variable)."""
+        full_graph = self.dag.copy()
+
+        if (X, Y) not in full_graph.edges():
+            raise ValueError(f"The edge from {X} -> {Y} doesn't exist in the graph")
+
+        if (X in self.observed_variables) and (Y in self.observed_variables):
+            full_graph.remove_edge(X, Y)
+            return full_graph, Y
+
+        if Y in self.latent_variables:
+            dependent_var = scaling_indicators[Y]
+            full_graph.add_edge("." + str(Y), dependent_var)
+        else:
+            dependent_var = Y
+
+        # sever Y from its structural parents (error-term edges stay)
+        structural_parents = [
+            var for var in self.dag.predecessors(Y) if not str(var).startswith(".")
+        ]
+        for parent_y in structural_parents:
+            full_graph.remove_edge(parent_y, Y)
+            if parent_y in self.latent_variables:
+                full_graph.add_edge(
+                    "." + str(scaling_indicators[parent_y]), dependent_var
+                )
+
+        return full_graph, dependent_var
+
     def get_ivs(self, X, Y, scaling_indicators={}):
-        """Instrumental variables for X -> Y: Z d-connected to X but
-        d-separated from Y in the model with X->Y removed."""
-        gc = self.model.copy()
-        if gc.has_edge(X, Y):
-            gc.remove_edge(X, Y)
-        candidates = self.observed_variables - {X, Y}
-        ivs = set()
-        for z in candidates:
-            if gc.is_dconnected(z, X, observed=[]) and not gc.is_dconnected(
-                z, Y, observed=[]
-            ):
-                ivs.add(z)
-        return ivs
+        """Model-implied instrumental variables for the relation X -> Y:
+        observed variables d-connected to X but not to Y in the transformed
+        graph with Y's structural equation severed."""
+        if not scaling_indicators:
+            scaling_indicators = self.get_scaling_indicators()
+        if X in scaling_indicators and scaling_indicators[X] == Y:
+            logger.warning(
+                f"{Y} is the scaling indicator of {X}. Please specify `scaling_indicators`"
+            )
+
+        transformed_graph, dependent_var = self._iv_transformations(
+            X, Y, scaling_indicators=scaling_indicators
+        )
+        explanatory_var = scaling_indicators[X] if X in self.latent_variables else X
+
+        d_connected_x = transformed_graph.active_trail_nodes([explanatory_var])[
+            explanatory_var
+        ]
+        # d-connected to the dependent var except through the explanatory var
+        graph_no_x = transformed_graph.copy()
+        graph_no_x.remove_edges_from(list(graph_no_x.in_edges(explanatory_var)))
+        d_connected_y = graph_no_x.active_trail_nodes([dependent_var])[dependent_var]
+
+        return (
+            (d_connected_x - d_connected_y - {dependent_var, explanatory_var})
+            & self.observed_variables
+        )
+
+    def _nearest_separator(self, G, Y, Z):
+        """Observed set W separating Y from Z in ``G`` found by a moralized-
+        ancestral-graph blanket search; None if no such set exists
+        (Van der Zander et al. 2015)."""
+        from pgmpy_tpu.base.undirected import UndirectedGraph
+        from pgmpy_tpu.models.sem import SEMGraph
+
+        W = set()
+        ancestral_nodes = (
+            nx.ancestors(G, Y) | nx.ancestors(G, Z) | {Y, Z}
+        )
+        ancestral_G = G.subgraph(ancestral_nodes).copy()
+
+        if isinstance(self.model, SEMGraph):
+            # uncorrelated error nodes add no paths; dropping them keeps the
+            # moral graph small
+            uncorrelated = set(self.model.err_graph.nodes()) - {
+                node for edge in self.model.err_graph.edges() for node in edge
+            }
+            ancestral_G.remove_nodes_from(
+                ["." + str(node) for node in uncorrelated if "." + str(node) in ancestral_G]
+            )
+
+        moral = UndirectedGraph()
+        moral.add_nodes_from(ancestral_G.nodes())
+        moral.add_edges_from(ancestral_G.to_undirected().edges())
+        for node in ancestral_G.nodes():
+            moral.add_edges_from(
+                itertools.combinations(list(ancestral_G.predecessors(node)), 2)
+            )
+
+        visited = {Y}
+        to_visit = list(moral.neighbors(Y))
+        while to_visit:
+            node = to_visit.pop()
+            if node == Z:
+                return None
+            visited.add(node)
+            if node in self.observed_variables:
+                W.add(node)
+            else:
+                to_visit.extend(
+                    n for n in moral.neighbors(node) if n not in visited
+                )
+        if Y not in G.active_trail_nodes([Z], observed=W, include_latents=True)[Z]:
+            return W
+        return None
 
     def get_conditional_ivs(self, X, Y, scaling_indicators={}):
-        """(iv, conditioning set) pairs for X -> Y."""
-        gc = self.model.copy()
-        if gc.has_edge(X, Y):
-            gc.remove_edge(X, Y)
-        candidates = self.observed_variables - {X, Y} - set(self.get_ivs(X, Y))
-        results = []
-        for z in candidates:
-            # search for a W making z an IV: z ⟂ Y | W in gc, z d-conn X | W
-            others = sorted(
-                self.observed_variables - {X, Y, z} - set(nx.descendants(self.model, X)),
-                key=str,
+        """Conditional instruments for X -> Y: (Z, W) pairs where Z is an IV
+        for X -> Y after conditioning on W (Van der Zander et al. 2015)."""
+        if not scaling_indicators:
+            scaling_indicators = self.get_scaling_indicators()
+        if X in scaling_indicators and scaling_indicators[X] == Y:
+            logger.warning(
+                f"{Y} is the scaling indicator of {X}. Please specify `scaling_indicators`"
             )
-            for size in range(len(others) + 1):
-                found = False
-                for W in combinations(others, size):
-                    if not gc.is_dconnected(z, Y, observed=list(W)) and gc.is_dconnected(
-                        z, X, observed=list(W)
-                    ):
-                        results.append((z, list(W)))
-                        found = True
-                        break
-                if found:
-                    break
-        return results
+
+        transformed_graph, dependent_var = self._iv_transformations(
+            X, Y, scaling_indicators=scaling_indicators
+        )
+        if (X, Y) in transformed_graph.edges():
+            transformed_graph.remove_edge(X, Y)
+
+        instruments = []
+        for Z in sorted(self.observed_variables - {X, Y}, key=str):
+            W = self._nearest_separator(transformed_graph, Y, Z)
+            if (not W) or (W & set(nx.descendants(transformed_graph, Y))) or (X in W):
+                continue
+            if X in self.dag.active_trail_nodes([Z], observed=W)[Z]:
+                instruments.append((Z, W))
+        return instruments
+
+    def get_total_conditional_ivs(self, X, Y, scaling_indicators={}):
+        """Conditional instruments valid for the TOTAL effect of X on Y: a
+        conditioning set may not contain nodes on any causal path X -> Y."""
+        if not scaling_indicators:
+            scaling_indicators = self.get_scaling_indicators()
+        all_paths = list(nx.all_simple_paths(self.dag, X, Y))
+        nodes_on_paths = {node for path in all_paths for node in path} - {X, Y}
+
+        transformed_graph, dependent_var = self._iv_transformations(
+            X, Y, scaling_indicators=scaling_indicators
+        )
+        if (X, Y) in transformed_graph.edges():
+            transformed_graph.remove_edge(X, Y)
+
+        instruments = []
+        for Z in sorted(self.observed_variables - {X, Y}, key=str):
+            W = self._nearest_separator(transformed_graph, Y, Z)
+            if W and W & nodes_on_paths:
+                continue
+            if (not W) or (W & set(nx.descendants(transformed_graph, Y))) or (X in W):
+                continue
+            if X in self.dag.active_trail_nodes([Z], observed=W)[Z]:
+                instruments.append((Z, W))
+        return instruments
 
     # ------------------------------------------------------------------ #
     # identification dispatch & ATE
     # ------------------------------------------------------------------ #
     def identification_method(self, X, Y):
-        """Which identification strategy applies for the effect of X on Y."""
-        backdoor_sets = self.get_all_backdoor_adjustment_sets(X, Y)
-        if backdoor_sets:
-            return {"method": "backdoor", "sets": backdoor_sets}
-        frontdoor_sets = self.get_all_frontdoor_adjustment_sets(X, Y)
-        if frontdoor_sets:
-            return {"method": "frontdoor", "sets": frontdoor_sets}
-        ivs = self.get_ivs(X, Y)
-        if ivs:
-            return {"method": "iv", "sets": ivs}
-        return {"method": None, "sets": frozenset()}
+        """Every identification strategy that applies for the effect of X on
+        Y, keyed by method name (ref CausalInference.py:578-633)."""
+        result = {}
+        strategies = [
+            ("backdoor set", lambda: self.get_all_backdoor_adjustment_sets(X, Y)),
+            ("frontdoor set", lambda: self.get_all_frontdoor_adjustment_sets(X, Y)),
+            ("instrumental variables", lambda: self.get_ivs(X, Y)),
+            ("conditional instrumental variables",
+             lambda: self.get_conditional_ivs(X, Y)),
+            ("total conditional instrumental variables",
+             lambda: self.get_total_conditional_ivs(X, Y)),
+        ]
+        for name, strategy in strategies:
+            try:
+                found = strategy()
+            except Exception:
+                continue
+            if len(found) > 0:
+                result[name] = found
+        return result
 
-    def estimate_ate(self, X, Y, data, estimand_strategy="smallest", estimator_type="linear", **kwargs):
-        """Average treatment effect of X on Y via backdoor adjustment with a
-        linear regression estimator (jnp lstsq)."""
-        import jax.numpy as jnp
+    def _simple_decision(self, adjustment_sets=[]):
+        """Smallest adjustment set of the provided ones."""
+        adjustment_list = list(adjustment_sets)
+        if not adjustment_list:
+            return frozenset([])
+        return min(adjustment_list, key=lambda s: (len(s), sorted(map(str, s))))
 
-        adjustment_sets = self.get_all_backdoor_adjustment_sets(X, Y)
-        if adjustment_sets:
-            if estimand_strategy == "smallest":
-                Z = list(min(adjustment_sets, key=len))
-            else:
-                Z = list(next(iter(adjustment_sets)))
-        else:
-            Z = []
-        cols = [X] + Z
-        mat = np.column_stack(
-            [np.ones(data.shape[0])]
-            + [data[c].to_numpy(dtype=np.float64) for c in cols]
-        )
-        y = data[Y].to_numpy(dtype=np.float64)
-        beta, _, _, _ = jnp.linalg.lstsq(jnp.asarray(mat), jnp.asarray(y))
-        return float(np.asarray(beta)[1])
+    def estimate_ate(
+        self,
+        X,
+        Y,
+        data,
+        estimand_strategy="smallest",
+        estimator_type="linear",
+        **kwargs,
+    ):
+        """Average treatment effect of X on Y: for every directed path
+        X -> ... -> Y, the product of per-edge effects (each estimated by
+        backdoor-adjusted regression), summed over paths (path-tracing,
+        ref CausalInference.py:717-810).
+
+        estimand_strategy: "smallest" (smallest backdoor set per edge),
+        "all" (average the estimate over every valid backdoor set), or a
+        frozenset naming an explicit adjustment set.
+        """
+        from pgmpy_tpu.inference.linear_model import LinearEstimator
+
+        if estimator_type != "linear":
+            raise ValueError(
+                f"estimator_type must be 'linear'. Got: {estimator_type!r}"
+            )
+        if not (
+            isinstance(estimand_strategy, frozenset)
+            or estimand_strategy in ("smallest", "all")
+        ):
+            raise ValueError(
+                "estimand_strategy must be 'smallest', 'all', or a frozenset "
+                f"adjustment set. Got: {estimand_strategy!r}"
+            )
+
+        all_path_effects = []
+        for path in nx.all_simple_paths(self.dag, X, Y):
+            causal_effect = []
+            for x1, x2 in zip(path, path[1:]):
+                if isinstance(estimand_strategy, frozenset):
+                    adjustment_sets = frozenset({estimand_strategy})
+                    if not self.is_valid_backdoor_adjustment_set(
+                        x1, x2, Z=estimand_strategy
+                    ):
+                        raise ValueError(
+                            f"{set(estimand_strategy)} is not a valid backdoor "
+                            f"adjustment set for {x1} -> {x2}"
+                        )
+                else:
+                    adjustment_sets = self.get_all_backdoor_adjustment_sets(x1, x2)
+                    if estimand_strategy == "smallest":
+                        adjustment_sets = frozenset(
+                            {self._simple_decision(adjustment_sets)}
+                        )
+                    elif not adjustment_sets:
+                        adjustment_sets = frozenset({frozenset()})
+
+                self.estimator = LinearEstimator(self.model)
+                ate = [
+                    self.estimator.fit(X=x1, Y=x2, Z=s, data=data, **kwargs)._get_ate()
+                    for s in adjustment_sets
+                ]
+                causal_effect.append(np.mean(ate))
+            all_path_effects.append(np.prod(causal_effect))
+        return float(np.sum(all_path_effects))
 
     # ------------------------------------------------------------------ #
     # interventional query

@@ -13,14 +13,22 @@ class LinearEstimator:
     def __init__(self, model):
         self.model = model
 
-    def fit(self, X, Y, Z=None, data=None, **kwargs):
-        """Regress Y on [1, X, Z]; the X coefficient estimates the effect."""
-        Z = list(Z or [])
+    def fit(self, X, Y, Z=None, data=None, missing="none", **kwargs):
+        """Regress Y on [1, X, Z]; the X coefficient estimates the effect.
+        ``missing``: "none" (use all rows), "drop" (drop NaN rows), or
+        "raise" (error on NaNs) — reference statsmodels semantics."""
+        Z = sorted(Z, key=str) if Z else []
+        cols = [Y, X] + Z
+        sub = data[cols]
+        if missing == "drop":
+            sub = sub.dropna()
+        elif missing == "raise" and sub.isna().any().any():
+            raise ValueError("data contains missing values")
         mat = np.column_stack(
-            [np.ones(data.shape[0])]
-            + [data[c].to_numpy(dtype=np.float64) for c in [X] + Z]
+            [np.ones(sub.shape[0])]
+            + [sub[c].to_numpy(dtype=np.float64) for c in [X] + Z]
         )
-        y = data[Y].to_numpy(dtype=np.float64)
+        y = sub[Y].to_numpy(dtype=np.float64)
         beta, _, _, _ = jnp.linalg.lstsq(jnp.asarray(mat), jnp.asarray(y))
         beta = np.asarray(beta)
         self.coef_ = beta
@@ -28,6 +36,9 @@ class LinearEstimator:
         resid = y - mat @ beta
         self.resid_std = float(np.std(resid))
         return self
+
+    def _get_ate(self):
+        return self.ate
 
     def summary(self):
         return {"ate": self.ate, "coef": self.coef_, "resid_std": self.resid_std}

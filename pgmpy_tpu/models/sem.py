@@ -86,6 +86,22 @@ class SEMGraph:
             observed=observed,
         )
 
+    @property
+    def full_graph_struct(self):
+        """Directed graph joining the causal graph with the error structure:
+        an error node ``.v`` per variable and a common-cause node ``..uv``
+        per correlated error pair (ref ``models/SEM.py:159-196``)."""
+        full_graph = self.graph.copy()
+        full_graph.add_edges_from(
+            [("." + str(node), node) for node in self.err_graph.nodes]
+        )
+        for u, v in self.err_graph.edges:
+            cov_node = ".." + "".join(sorted([str(u), str(v)]))
+            full_graph.add_edges_from(
+                [(cov_node, "." + str(u)), (cov_node, "." + str(v))]
+            )
+        return full_graph
+
     def active_trail_nodes(self, variables, observed=None):
         from pgmpy_tpu.base.dag import DAG
 

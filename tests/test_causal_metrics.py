@@ -69,7 +69,7 @@ class TestBackdoorFrontdoor:
     def test_identification_method(self):
         ci = CausalInference(confounded_model())
         out = ci.identification_method("x", "y")
-        assert out["method"] == "backdoor"
+        assert out["backdoor set"] == frozenset({frozenset({"z"})})
 
 
 class TestCausalQuery:
@@ -206,3 +206,149 @@ class TestApproxInference:
         np.testing.assert_allclose(
             np.asarray(res.values), np.asarray(exact.values), atol=0.03
         )
+
+
+class TestIVMachinery:
+    """Reference-parity tests on the reference's own IV test graphs
+    (ref tests/test_inference/test_CausalInference.py:500-830)."""
+
+    def setup_method(self):
+        from pgmpy_tpu.models import SEMGraph
+
+        self.demo = CausalInference(SEMGraph(
+            ebunch=[
+                ("xi1", "x1"), ("xi1", "x2"), ("xi1", "x3"), ("xi1", "eta1"),
+                ("eta1", "y1"), ("eta1", "y2"), ("eta1", "y3"), ("eta1", "y4"),
+                ("eta1", "eta2"), ("xi1", "eta2"),
+                ("eta2", "y5"), ("eta2", "y6"), ("eta2", "y7"), ("eta2", "y8"),
+            ],
+            latents=["xi1", "eta1", "eta2"],
+            err_corr=[
+                ("y1", "y5"), ("y2", "y6"), ("y2", "y4"),
+                ("y3", "y7"), ("y4", "y8"), ("y6", "y8"),
+            ],
+        ))
+        self.union = CausalInference(SEMGraph(
+            ebunch=[
+                ("yrsmill", "unionsen"), ("age", "laboract"), ("age", "deferenc"),
+                ("deferenc", "laboract"), ("deferenc", "unionsen"),
+                ("laboract", "unionsen"),
+            ],
+            latents=[],
+            err_corr=[("yrsmill", "age")],
+        ))
+
+    def test_scaling_indicators(self):
+        ind = self.demo.get_scaling_indicators()
+        assert ind["eta1"] in ["y1", "y2", "y3", "y4"]
+        assert ind["eta2"] in ["y5", "y6", "y7", "y8"]
+        assert ind["xi1"] in ["x1", "x2", "x3"]
+        assert self.union.get_scaling_indicators() == {}
+
+    def test_iv_transformations_demo(self):
+        scale = {"eta1": "y1", "eta2": "y5", "xi1": "x1"}
+        with pytest.raises(ValueError):
+            self.demo._iv_transformations("x1", "y1", scale)
+        for y in ["y2", "y3", "y4"]:
+            g, dep = self.demo._iv_transformations("eta1", y, scale)
+            assert dep == y
+            assert (".y1", y) in g.edges()
+            assert ("eta1", y) not in g.edges()
+        g, dep = self.demo._iv_transformations("xi1", "eta1", scale)
+        assert dep == "y1"
+        assert (".eta1", "y1") in g.edges()
+        assert (".x1", "y1") in g.edges()
+        assert ("xi1", "eta1") not in g.edges()
+
+    def test_get_ivs_demo(self):
+        scale = {"eta1": "y1", "eta2": "y5", "xi1": "x1"}
+        assert self.demo.get_ivs("eta1", "y2", scaling_indicators=scale) == {
+            "x1", "x2", "x3", "y3", "y7", "y8"}
+        assert self.demo.get_ivs("eta1", "y3", scaling_indicators=scale) == {
+            "x1", "x2", "x3", "y2", "y4", "y6", "y8"}
+        assert self.demo.get_ivs("eta2", "y6", scaling_indicators=scale) == {
+            "x1", "x2", "x3", "y3", "y4", "y7"}
+        assert self.demo.get_ivs("xi1", "eta1", scaling_indicators=scale) == {
+            "x2", "x3"}
+        assert self.demo.get_ivs("eta1", "eta2", scaling_indicators=scale) == {
+            "x2", "x3", "y2", "y3", "y4"}
+
+    def test_get_ivs_union(self):
+        assert self.union.get_ivs("yrsmill", "unionsen", scaling_indicators={}) == set()
+        assert self.union.get_ivs("age", "laboract", scaling_indicators={}) == {"yrsmill"}
+        assert self.union.get_ivs("age", "deferenc", scaling_indicators={}) == {"yrsmill"}
+
+    def test_get_conditional_ivs_demo_empty(self):
+        scale = {"eta1": "y1", "eta2": "y5", "xi1": "x1"}
+        for x, y in [("eta1", "y2"), ("eta2", "y6"), ("xi1", "x2"),
+                     ("xi1", "eta1"), ("eta1", "eta2")]:
+            assert self.demo.get_conditional_ivs(x, y, scaling_indicators=scale) == []
+
+    def test_get_conditional_ivs_union(self):
+        assert self.union.get_conditional_ivs("yrsmill", "unionsen") == [
+            ("age", {"laboract", "deferenc"})]
+        assert self.union.get_conditional_ivs("deferenc", "unionsen") == [
+            ("age", {"yrsmill", "laboract"})]
+        assert self.union.get_conditional_ivs("laboract", "unionsen") == [
+            ("age", {"yrsmill", "deferenc"})]
+        assert self.union.get_conditional_ivs("deferenc", "laboract") == []
+        assert self.union.get_conditional_ivs("age", "laboract") == [
+            ("yrsmill", {"deferenc"})]
+        assert self.union.get_conditional_ivs("age", "deferenc") == []
+
+    def test_total_conditional_ivs_union(self):
+        assert self.union.get_total_conditional_ivs("deferenc", "unionsen") == []
+
+    def test_conditional_iv_dag_with_latent(self):
+        # Van der Zander et al. example: I is an IV for X -> Y given W
+        dag = DAG([("i", "x"), ("x", "y"), ("w", "i"), ("u", "w"), ("u", "y")],
+                  latents=["u"])
+        ci = CausalInference(dag)
+        out = ci.get_conditional_ivs("x", "y")
+        assert out == [("i", {"w"})]
+
+
+class TestEstimateATE:
+    def test_invalid_estimator_raises(self):
+        dag = DAG([("z", "x"), ("z", "y"), ("x", "y")])
+        with pytest.raises(ValueError, match="estimator_type"):
+            CausalInference(dag).estimate_ate(
+                "x", "y", pd.DataFrame({"x": [0.0], "y": [0.0], "z": [0.0]}),
+                estimator_type="forest",
+            )
+
+    def test_invalid_strategy_raises(self):
+        dag = DAG([("z", "x"), ("z", "y"), ("x", "y")])
+        with pytest.raises(ValueError, match="estimand_strategy"):
+            CausalInference(dag).estimate_ate(
+                "x", "y", pd.DataFrame({"x": [0.0], "y": [0.0], "z": [0.0]}),
+                estimand_strategy="bogus",
+            )
+
+    def test_path_tracing_mediated_effect(self):
+        """Chain x -> m -> y: the path-traced ATE is the product of the
+        per-edge effects (reference path-tracing semantics)."""
+        rng = np.random.default_rng(1)
+        n = 40000
+        x = rng.normal(size=n)
+        m = 1.5 * x + rng.normal(size=n) * 0.3
+        y = 2.0 * m + rng.normal(size=n) * 0.3
+        data = pd.DataFrame({"x": x, "m": m, "y": y})
+        dag = DAG([("x", "m"), ("m", "y")])
+        ate = CausalInference(dag).estimate_ate("x", "y", data)
+        assert ate == pytest.approx(1.5 * 2.0, abs=0.05)
+
+    def test_strategy_all_and_explicit_set(self):
+        rng = np.random.default_rng(0)
+        n = 20000
+        z = rng.normal(size=n)
+        x = 0.8 * z + rng.normal(size=n) * 0.5
+        y = 2.0 * x + 1.5 * z + rng.normal(size=n) * 0.5
+        data = pd.DataFrame({"x": x, "y": y, "z": z})
+        dag = DAG([("z", "x"), ("z", "y"), ("x", "y")])
+        ci = CausalInference(dag)
+        assert ci.estimate_ate("x", "y", data, estimand_strategy="all") == \
+            pytest.approx(2.0, abs=0.05)
+        assert ci.estimate_ate(
+            "x", "y", data, estimand_strategy=frozenset({"z"})
+        ) == pytest.approx(2.0, abs=0.05)
