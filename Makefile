@@ -1,0 +1,22 @@
+# Test / bench gates for pgmpy_tpu.
+
+.PHONY: test test-tpu bench dryrun
+
+# Full unit suite on forced-CPU jax (tests/conftest.py pins the platform
+# and a virtual 8-device mesh for sharding tests). ~2 min.
+test:
+	python -m pytest tests/ -q
+
+# The numeric suites re-run against the real TPU backend (parity lane).
+# Requires exclusive access to the chip; see tests/conftest.py for the
+# `tpu` marker plumbing.
+test-tpu:
+	PGMPY_TPU_LANE=1 python -m pytest tests/ -q -m tpu
+
+# Headline benchmark (MUNIN calibration + secondaries); prints one JSON line.
+bench:
+	python bench.py
+
+# Multi-chip sharding compile check on 8 virtual devices.
+dryrun:
+	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"

@@ -383,10 +383,94 @@ class DAG(GraphRolesMixin, nx.DiGraph):
         lines.append("}")
         return "\n".join(lines)
 
-    def to_graphviz(self, plot_edge_strength=False):
-        import pygraphviz  # soft dependency
+    def _check_edge_strengths(self):
+        missing = [
+            (u, v) for u, v in self.edges() if "strength" not in self.edges[(u, v)]
+        ]
+        if missing:
+            raise ValueError(
+                f"Edge strength plotting requested but strengths not found for "
+                f"edges: {missing}. Use edge_strength() method to compute "
+                "strengths first."
+            )
 
-        return nx.nx_agraph.to_agraph(self)
+    def to_daft(
+        self,
+        node_pos="circular",
+        latex=True,
+        pgm_params={},
+        edge_params={},
+        node_params={},
+        plot_edge_strength=False,
+    ):
+        """Publication-quality plot object (``daft.PGM``); call its
+        ``render()`` to draw.  ``node_pos`` is a networkx layout name or a
+        {node: (x, y)} dict (ref ``base/DAG.py:1188-1343``)."""
+        try:
+            from daft import PGM
+        except ImportError as e:
+            raise ImportError(
+                f"{e}. Package `daft` is required for plotting probabilistic "
+                "graphical models. Please install it using: pip install daft-pgm"
+            ) from None
+
+        if plot_edge_strength:
+            self._check_edge_strengths()
+
+        if isinstance(node_pos, str):
+            layouts = {
+                "circular": nx.circular_layout,
+                "kamada_kawai": nx.kamada_kawai_layout,
+                "planar": nx.planar_layout,
+                "random": nx.random_layout,
+                "shell": nx.shell_layout,
+                "spring": nx.spring_layout,
+                "spectral": nx.spectral_layout,
+                "spiral": nx.spiral_layout,
+            }
+            if node_pos not in layouts:
+                raise ValueError(
+                    "Unknown node_pos argument. Please refer docstring for accepted values"
+                )
+            node_pos = layouts[node_pos](self)
+        elif isinstance(node_pos, dict):
+            for node in self.nodes():
+                if node not in node_pos:
+                    raise ValueError(f"No position specified for {node}.")
+        else:
+            raise ValueError("Argument node_pos not valid. Please refer to the docstring.")
+
+        pgm = PGM(**pgm_params)
+        observed_set = set(getattr(self, "observed", self.nodes()))
+        for node in self.nodes():
+            label = rf"${node}$" if latex else f"{node}"
+            pgm.add_node(
+                node,
+                label,
+                node_pos[node][0],
+                node_pos[node][1],
+                observed=node in observed_set,
+                **node_params.get(node, {}),
+            )
+        for u, v in self.edges():
+            extra = dict(edge_params.get((u, v), {}))
+            if plot_edge_strength and "label" not in extra:
+                extra["label"] = f"{self.edges[(u, v)]['strength']: .3f}"
+            pgm.add_edge(u, v, **extra)
+        return pgm
+
+    def to_graphviz(self, plot_edge_strength=False):
+        """``pygraphviz.AGraph`` of the DAG, with optional edge-strength
+        labels (ref ``base/DAG.py:1414-1460``)."""
+        if plot_edge_strength:
+            self._check_edge_strengths()
+        agraph = nx.nx_agraph.to_agraph(self)
+        if plot_edge_strength:
+            for u, v in self.edges():
+                agraph.get_edge(u, v).attr["label"] = (
+                    f"{self.edges[(u, v)]['strength']: .3f}"
+                )
+        return agraph
 
     def edge_strength(self, data, edges=None):
         """Strength of each edge as the Pillai-trace effect size of the

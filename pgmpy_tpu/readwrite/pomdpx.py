@@ -64,25 +64,69 @@ class PomdpXReader:
         out = []
         for section in self.network.findall(section_tag):
             for var in section.findall(entry_tag):
+                parameter_el = var.find("Parameter")
+                param_type = parameter_el.get("type") or "TBL"
                 cond = {
                     "Var": var.find("Var").text,
                     "Parent": var.find("Parent").text.split(),
-                    "Type": var.find("Parameter").get("type") or "TBL",
+                    "Type": param_type,
                     "Parameter": [],
                 }
-                for entry in var.find("Parameter").findall("Entry"):
-                    instance = entry.find("Instance").text.split()
-                    table_el = entry.find(table_tag)
-                    if table_el is None:
-                        table_el = entry.find("ValueTable")
-                    cond["Parameter"].append(
-                        {
-                            "Instance": instance,
-                            table_el.tag: table_el.text.split(),
-                        }
-                    )
+                if param_type == "DD":
+                    cond["Parameter"] = self.get_parameter_dd(parameter_el)
+                else:
+                    for entry in parameter_el.findall("Entry"):
+                        instance = entry.find("Instance").text.split()
+                        table_el = entry.find(table_tag)
+                        if table_el is None:
+                            table_el = entry.find("ValueTable")
+                        cond["Parameter"].append(
+                            {
+                                "Instance": instance,
+                                table_el.tag: table_el.text.split(),
+                            }
+                        )
                 out.append(cond)
         return out
+
+    def get_parameter_dd(self, parameter_el):
+        """Decision-diagram parameter as nested dicts: {root var: edges},
+        where an edge value is a terminal string, a nested {var: edges}
+        node, or a SubDAG attribute dict; an optional SubDAGTemplate rides
+        along under its own key (ref PomdpX.py:308-350)."""
+
+        def parse_node(node_el):
+            edges = {}
+            for edge in node_el.findall("Edge"):
+                terminal = edge.find("Terminal")
+                child = edge.find("Node")
+                subdag = edge.find("SubDAG")
+                if terminal is not None:
+                    edges[edge.get("val")] = terminal.text
+                elif child is not None:
+                    edges[edge.get("val")] = {child.get("var"): parse_node(child)}
+                elif subdag is not None:
+                    attrs = {"type": subdag.get("type")}
+                    if attrs["type"] == "template":
+                        attrs["idref"] = subdag.get("idref")
+                    if subdag.get("var"):
+                        attrs["var"] = subdag.get("var")
+                    if subdag.get("val"):
+                        attrs["val"] = subdag.get("val")
+                    edges[edge.get("val")] = attrs
+            return edges
+
+        dag = {}
+        template = parameter_el.find("SubDAGTemplate")
+        if template is not None:
+            template_root = template.find("Node")
+            dag["SubDAGTemplate"] = {
+                template_root.get("var"): parse_node(template_root)
+            }
+            dag["id"] = template.get("id")
+        root = parameter_el.find("DAG").find("Node")
+        dag[root.get("var")] = parse_node(root)
+        return dag
 
     def get_initial_beliefs(self):
         return self._get_cond_probs("InitialStateBelief")
@@ -152,14 +196,49 @@ class PomdpXWriter:
             el = etree.SubElement(section, entry_tag)
             etree.SubElement(el, "Var").text = cond["Var"]
             etree.SubElement(el, "Parent").text = " ".join(cond["Parent"])
-            parameter = etree.SubElement(
-                el, "Parameter", attrib={"type": cond.get("Type", "TBL")}
-            )
+            param_type = cond.get("Type", "TBL")
+            parameter = etree.SubElement(el, "Parameter", attrib={"type": param_type})
+            if param_type == "DD":
+                self._write_parameter_dd(parameter, cond["Parameter"])
+                continue
             for entry in cond["Parameter"]:
                 e = etree.SubElement(parameter, "Entry")
                 etree.SubElement(e, "Instance").text = " ".join(entry["Instance"])
                 key = table_tag if table_tag in entry else ("ProbTable" if "ProbTable" in entry else "ValueTable")
                 etree.SubElement(e, key).text = " ".join(entry[key])
+
+    def _write_parameter_dd(self, parameter_el, dag_dict):
+        """Inverse of PomdpXReader.get_parameter_dd (ref PomdpX.py:474-526)."""
+
+        def write_node(parent_el, var, edges):
+            node_el = etree.SubElement(parent_el, "Node", attrib={"var": var})
+            for val in sorted(edges.keys(), key=str):
+                edge_el = etree.SubElement(node_el, "Edge", attrib={"val": val})
+                value = edges[val]
+                if isinstance(value, str):
+                    etree.SubElement(edge_el, "Terminal").text = value
+                elif "type" in value:
+                    attrs = {"type": value["type"]}
+                    for key in ("idref", "var", "val"):
+                        if key in value:
+                            attrs[key] = value[key]
+                    etree.SubElement(edge_el, "SubDAG", attrib=attrs)
+                else:
+                    child_var = next(iter(value.keys()))
+                    write_node(edge_el, child_var, value[child_var])
+
+        if "SubDAGTemplate" in dag_dict:
+            template_el = etree.SubElement(
+                parameter_el, "SubDAGTemplate", attrib={"id": dag_dict.get("id", "")}
+            )
+            template = dag_dict["SubDAGTemplate"]
+            var = next(iter(template.keys()))
+            write_node(template_el, var, template[var])
+        dag_el = etree.SubElement(parameter_el, "DAG")
+        for var, edges in dag_dict.items():
+            if var in ("SubDAGTemplate", "id"):
+                continue
+            write_node(dag_el, var, edges)
 
     def __str__(self):
         string = etree.tostring(self.xml, encoding=self.encoding)

@@ -200,3 +200,38 @@ class TestRandomDAG:
     def test_random_latents(self):
         dag = DAG.get_random(n_nodes=8, edge_prob=0.3, latents=True, seed=3)
         assert dag.latents <= set(dag.nodes())
+
+
+class TestPlotting:
+    def test_to_daft_importerror_without_dep(self):
+        from pgmpy_tpu.base import DAG
+
+        dag = DAG([("a", "b")])
+        try:
+            import daft  # noqa: F401
+
+            pgm = dag.to_daft()
+            assert pgm is not None
+        except ImportError:
+            import pytest
+
+            with pytest.raises(ImportError, match="daft"):
+                dag.to_daft()
+
+    def test_to_daft_bad_layout(self):
+        from pgmpy_tpu.base import DAG
+        import pytest
+
+        dag = DAG([("a", "b")])
+        pytest.importorskip("daft")
+        with pytest.raises(ValueError):
+            dag.to_daft(node_pos="bogus")
+
+    def test_to_graphviz(self):
+        from pgmpy_tpu.base import DAG
+        import pytest
+
+        pytest.importorskip("pygraphviz")
+        dag = DAG([("a", "b")])
+        agraph = dag.to_graphviz()
+        assert set(agraph.nodes()) == {"a", "b"}

@@ -107,3 +107,120 @@ class TestPomdpX:
         assert back.get_variables() == model_data["variables"]
         assert back.get_state_transition_function() == model_data["state_transition_function"]
         assert back.get_reward_function() == model_data["reward_function"]
+
+
+POMDPX_DD = """<?xml version="1.0" encoding="ISO-8859-1"?>
+<pomdpx version="1.0" id="rockSampleDD">
+  <Description>DD-parameter fixture</Description>
+  <Discount>0.95</Discount>
+  <Variable>
+    <StateVar vnamePrev="rover_0" vnameCurr="rover_1" fullyObs="true">
+      <ValueEnum>s0 s1 s2</ValueEnum>
+    </StateVar>
+    <StateVar vnamePrev="rock_0" vnameCurr="rock_1">
+      <ValueEnum>good bad</ValueEnum>
+    </StateVar>
+    <ActionVar vname="action_rover">
+      <ValueEnum>amw ame</ValueEnum>
+    </ActionVar>
+  </Variable>
+  <InitialStateBelief>
+    <CondProb>
+      <Var>rover_0</Var>
+      <Parent>null</Parent>
+      <Parameter type="DD">
+        <DAG>
+          <Node var="rover_0">
+            <Edge val="s0"><Terminal>0.0</Terminal></Edge>
+            <Edge val="s1"><SubDAG type="uniform" var="rock_0"/></Edge>
+            <Edge val="s2"><Terminal>0.0</Terminal></Edge>
+          </Node>
+        </DAG>
+      </Parameter>
+    </CondProb>
+  </InitialStateBelief>
+  <StateTransitionFunction>
+    <CondProb>
+      <Var>rover_1</Var>
+      <Parent>action_rover rover_0</Parent>
+      <Parameter type="DD">
+        <SubDAGTemplate id="moveTemplate">
+          <Node var="rock_0">
+            <Edge val="good"><Terminal>0.9</Terminal></Edge>
+            <Edge val="bad"><Terminal>0.1</Terminal></Edge>
+          </Node>
+        </SubDAGTemplate>
+        <DAG>
+          <Node var="action_rover">
+            <Edge val="amw">
+              <Node var="rover_0">
+                <Edge val="s0"><Terminal>1.0</Terminal></Edge>
+                <Edge val="s1"><SubDAG type="template" idref="moveTemplate"/></Edge>
+                <Edge val="s2"><Terminal>0.0</Terminal></Edge>
+              </Node>
+            </Edge>
+            <Edge val="ame"><SubDAG type="deterministic" var="rover_1" val="s2"/></Edge>
+          </Node>
+        </DAG>
+      </Parameter>
+    </CondProb>
+  </StateTransitionFunction>
+</pomdpx>
+"""
+
+
+class TestPomdpXDD:
+    def test_dd_initial_belief(self):
+        reader = PomdpXReader(string=POMDPX_DD)
+        assert reader.get_initial_beliefs() == [
+            {
+                "Var": "rover_0",
+                "Parent": ["null"],
+                "Type": "DD",
+                "Parameter": {
+                    "rover_0": {
+                        "s0": "0.0",
+                        "s1": {"type": "uniform", "var": "rock_0"},
+                        "s2": "0.0",
+                    }
+                },
+            }
+        ]
+
+    def test_dd_transition_with_template(self):
+        reader = PomdpXReader(string=POMDPX_DD)
+        out = reader.get_state_transition_function()
+        assert out[0]["Type"] == "DD"
+        param = out[0]["Parameter"]
+        assert param["id"] == "moveTemplate"
+        assert param["SubDAGTemplate"] == {
+            "rock_0": {"good": "0.9", "bad": "0.1"}
+        }
+        assert param["action_rover"]["amw"] == {
+            "rover_0": {
+                "s0": "1.0",
+                "s1": {"type": "template", "idref": "moveTemplate"},
+                "s2": "0.0",
+            }
+        }
+        assert param["action_rover"]["ame"] == {
+            "type": "deterministic", "var": "rover_1", "val": "s2",
+        }
+
+    def test_dd_roundtrip(self):
+        reader = PomdpXReader(string=POMDPX_DD)
+        model_data = {
+            "description": reader.get_description(),
+            "discount": reader.get_discount(),
+            "variables": reader.get_variables(),
+            "initial_state_belief": reader.get_initial_beliefs(),
+            "state_transition_function": reader.get_state_transition_function(),
+            "obs_function": [],
+            "reward_function": [],
+        }
+        back = PomdpXReader(string=str(PomdpXWriter(model_data)))
+        assert back.get_initial_beliefs() == model_data["initial_state_belief"]
+        assert (
+            back.get_state_transition_function()
+            == model_data["state_transition_function"]
+        )
