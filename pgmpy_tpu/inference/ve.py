@@ -477,10 +477,26 @@ class VariableElimination(Inference):
         """
         if not evidence:
             raise ValueError("query_batch requires evidence; use query() otherwise")
-        n = len(next(iter(evidence.values())))
         ev_vars = sorted(evidence.keys(), key=str)
-        ev_set = set(ev_vars)
+        run, state_names, code_maps = self.batch_query_program(
+            list(variables), ev_vars
+        )
+        codes = np.empty((len(next(iter(evidence.values()))), len(ev_vars)), np.int32)
+        for k, var in enumerate(ev_vars):
+            mapping = code_maps[k]
+            codes[:, k] = [
+                mapping[s] if s in mapping else int(s) for s in evidence[var]
+            ]
+        values = run(jnp.asarray(codes))
+        return values, state_names
 
+    def batch_query_program(self, variables, ev_vars):
+        """Build the device program behind :meth:`query_batch`: a pure
+        function ``run(codes[n, len(ev_vars)]) -> values[n, *query cards]``
+        plus the query state names and per-evidence-var name->code maps.
+        ``run`` is jit/shard_map-compatible, so callers can shard the row
+        axis over a device mesh (``parallel.mesh.sharded_query_batch``)."""
+        ev_set = set(ev_vars)
         model, _ = self._prune_bayesian_model(
             list(variables), {v: 0 for v in ev_vars}
         )
@@ -491,69 +507,71 @@ class VariableElimination(Inference):
             state_names.update(cpd.state_names)
             for var, card in zip(cpd.variables, cpd.cardinality):
                 cards[var] = int(card)
-
-        # per-row evidence state codes
-        code_cols = {}
         for var in ev_vars:
             if var not in cards:
                 raise ValueError(f"Evidence variable {var} pruned out of the model")
-            names = state_names[var]
-            code_cols[var] = jnp.asarray(
-                [names.index(s) if s in names else int(s) for s in evidence[var]],
-                dtype=np.int32,
-            )
+        missing = [v for v in variables if v not in cards]
+        if missing:
+            raise ValueError(f"Query variables not in reduced model: {missing}")
 
-        # gather the evidence axes OUT of each CPT per row: observed axes
-        # never enter the contraction (a one-hot-delta formulation lets the
-        # path planner materialize batch x joint intermediates on wide
-        # evidence sets)
-        arrays, scopes = [], []
+        # static per-CPD slicing plans: gather the evidence axes OUT of each
+        # CPT per row, so observed axes never enter the contraction (a
+        # one-hot-delta formulation lets the path planner materialize
+        # batch x joint intermediates on wide evidence sets)
+        ev_pos = {v: k for k, v in enumerate(ev_vars)}
+        plans = []
+        scopes = []
         for cpd in model.cpds:
             scope = list(cpd.variables)
             ev_in_scope = [v for v in scope if v in ev_set]
+            plans.append((cpd.values, scope, ev_in_scope))
             if ev_in_scope:
-                codes_rows = jnp.stack([code_cols[v] for v in ev_in_scope], axis=1)
-
-                def slice_one(codes_row, arr=cpd.values, scope=scope, evs=ev_in_scope):
-                    index = []
-                    k = 0
-                    for v in scope:
-                        if v in evs:
-                            index.append(codes_row[k])
-                            k += 1
-                        else:
-                            index.append(slice(None))
-                    return arr[tuple(index)]
-
-                arrays.append(jax.vmap(slice_one)(codes_rows))
                 scopes.append(["__batch__"] + [v for v in scope if v not in ev_set])
             else:
-                arrays.append(cpd.values)
                 scopes.append(scope)
 
         var_to_int, operand_axes = make_axis_map(scopes)
-        missing = [v for v in variables if v not in var_to_int]
-        if missing:
-            raise ValueError(f"Query variables not in reduced model: {missing}")
-        out_size = n * int(np.prod([cards[v] for v in variables]))
-        if out_size > 2**31:
-            raise ValueError(
-                f"query_batch output would have {out_size} entries; query fewer "
-                "variables jointly or fewer rows per batch"
-            )
         out_axes = [var_to_int["__batch__"]] + [var_to_int[v] for v in variables]
+        n_query = len(variables)
+        out_card = int(np.prod([cards[v] for v in variables]))
 
-        interleaved = []
-        for arr, axes in zip(arrays, operand_axes):
-            interleaved.append(arr)
-            interleaved.append(list(axes))
-        interleaved.append(out_axes)
-        values = jnp.einsum(*interleaved, optimize="greedy", precision=PRECISION)
-        norm = jnp.sum(values.reshape(n, -1), axis=1).reshape(
-            (n,) + (1,) * len(variables)
-        )
-        values = values / norm
-        return values, {v: state_names[v] for v in variables}
+        def run(codes):
+            n = codes.shape[0]
+            if n * out_card > 2**31:
+                raise ValueError(
+                    f"query_batch output would have {n * out_card} entries; "
+                    "query fewer variables jointly or fewer rows per batch"
+                )
+            arrays = []
+            for arr, scope, ev_in_scope in plans:
+                if not ev_in_scope:
+                    arrays.append(arr)
+                    continue
+
+                def slice_one(codes_row, arr=arr, scope=scope, evs=ev_in_scope):
+                    index = tuple(
+                        codes_row[ev_pos[v]] if v in evs else slice(None)
+                        for v in scope
+                    )
+                    return arr[index]
+
+                arrays.append(jax.vmap(slice_one)(codes))
+            interleaved = []
+            for arr, axes in zip(arrays, operand_axes):
+                interleaved.append(arr)
+                interleaved.append(list(axes))
+            interleaved.append(out_axes)
+            values = jnp.einsum(*interleaved, optimize="greedy", precision=PRECISION)
+            norm = jnp.sum(values.reshape(n, -1), axis=1).reshape(
+                (n,) + (1,) * n_query
+            )
+            return values / norm
+
+        query_names = {v: state_names[v] for v in variables}
+        code_maps = [
+            {s: i for i, s in enumerate(state_names[v])} for v in ev_vars
+        ]
+        return run, query_names, code_maps
 
     # ------------------------------------------------------------------ #
     # public API

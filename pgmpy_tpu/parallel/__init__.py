@@ -3,6 +3,7 @@ from pgmpy_tpu.parallel.mesh import (
     sharded_sample_marginals,
     sharded_gibbs_marginals,
     sharded_nuts_moments,
+    sharded_query_batch,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "sharded_sample_marginals",
     "sharded_gibbs_marginals",
     "sharded_nuts_moments",
+    "sharded_query_batch",
 ]

@@ -227,3 +227,49 @@ def sharded_gibbs_marginals(
         m = np.asarray(m)[0]
         out[v] = m / m.sum()
     return out
+
+
+def sharded_query_batch(
+    model, variables, evidence, mesh=None, axis_name="chains"
+):
+    """Batched exact posteriors with the ROW axis sharded over the mesh.
+
+    The multi-chip face of the headline inference path: the (replicated)
+    CPT arrays stay on every device, the evidence-code rows split across
+    the mesh, and each device runs the fused batched contraction
+    (``VariableElimination.batch_query_program``) on its shard — pure data
+    parallelism over ICI, no collectives needed until the caller reduces.
+
+    Returns (values[n, *query cards] as numpy, state_names) — identical to
+    ``VariableElimination.query_batch`` for any device count.
+    """
+    from pgmpy_tpu.inference.ve import VariableElimination
+
+    if mesh is None:
+        mesh = get_mesh(axis_name=axis_name)
+    n_dev = mesh.devices.size
+
+    infer = VariableElimination(model)
+    ev_vars = sorted(evidence.keys(), key=str)
+    run, state_names, code_maps = infer.batch_query_program(
+        list(variables), ev_vars
+    )
+
+    n = len(next(iter(evidence.values())))
+    codes = np.empty((n, len(ev_vars)), dtype=np.int32)
+    for k, var in enumerate(ev_vars):
+        mapping = code_maps[k]
+        codes[:, k] = [
+            mapping[s] if s in mapping else int(s) for s in evidence[var]
+        ]
+    # pad rows to a multiple of the device count (replicating row 0 keeps
+    # every shard's program identical; padding is sliced off after)
+    n_pad = (-n) % n_dev
+    if n_pad:
+        codes = np.concatenate([codes, np.tile(codes[:1], (n_pad, 1))], axis=0)
+
+    sharded = shard_map(
+        run, mesh=mesh, in_specs=(P(axis_name, None),), out_specs=P(axis_name)
+    )
+    values = np.asarray(sharded(jnp.asarray(codes)))[:n]
+    return values, state_names
