@@ -7,6 +7,9 @@ from pgmpy_tpu.models import DiscreteBayesianNetwork, DiscreteMarkovNetwork
 from pgmpy_tpu.utils.utils import get_example_model
 
 
+# numeric golden module: re-runs on the real chip in the TPU parity lane
+pytestmark = pytest.mark.tpu
+
 def student_bn():
     model = DiscreteBayesianNetwork(
         [("diff", "grade"), ("intel", "grade"), ("grade", "letter"), ("intel", "SAT")]

@@ -10,6 +10,9 @@ from pgmpy_tpu.factors import (
 )
 
 
+# numeric golden module: re-runs on the real chip in the TPU parity lane
+pytestmark = pytest.mark.tpu
+
 def phi_xyz():
     return DiscreteFactor(["x1", "x2", "x3"], [2, 2, 2], np.arange(8))
 
