@@ -55,7 +55,9 @@ class BIFReader:
             raise ValueError("Must specify either path or string")
 
         net_match = _NETWORK_RE.search(self.network)
-        self.network_name = net_match.group("name") if net_match else "unknown"
+        self.network_name = (
+            net_match.group("name").strip('"') if net_match else "unknown"
+        )
 
         self.variable_states = {}
         self.variable_cards = {}
@@ -219,6 +221,7 @@ class BIFWriter:
             props = "".join(
                 f"  property {prop} = {val} ;\n"
                 for prop, val in sorted(model.nodes[var].items())
+                if val is not None
             )
             out.append(
                 f"variable {var} {{\n"
