@@ -56,7 +56,11 @@ def _power_divergence(X, Y, Z, data, boolean, significance_level, lambda_):
         sub = sub[sub.sum(axis=1) > 0][:, sub.sum(axis=0) > 0]
         if sub.shape[0] < 2 or sub.shape[1] < 2:
             continue
-        chi, _, dof, _ = stats.chi2_contingency(sub, lambda_=lambda_)
+        # correction=False: the reference's power_divergence applies no
+        # Yates continuity correction on 2x2 tables (ref CITests.py:94-502)
+        chi, _, dof, _ = stats.chi2_contingency(
+            sub, lambda_=lambda_, correction=False
+        )
         stat_total += chi
         dof_total += dof
     if dof_total == 0:

@@ -95,6 +95,7 @@ class HillClimbSearch(StructureEstimator):
         fixed_edges=set(),
         tabu_length=100,
         max_indegree=None,
+        expert_knowledge=None,
         black_list=None,
         white_list=None,
         epsilon=1e-4,
@@ -127,6 +128,19 @@ class HillClimbSearch(StructureEstimator):
             if white_list
             else set(itertools.permutations(self.variables, 2))
         )
+        if expert_knowledge is not None:
+            # reference API (ref HillClimbSearch.py:146,231-246): required
+            # edges seed the start DAG, forbidden edges never appear
+            ek_black, ek_white = expert_knowledge.limit_search_space(
+                self.variables
+            )
+            black_list |= ek_black
+            white_list &= ek_white
+            fixed_edges = fixed_edges | expert_knowledge.required_edges
+            start_dag.add_edges_from(expert_knowledge.required_edges)
+            if not nx.is_directed_acyclic_graph(start_dag):
+                raise ValueError("required_edges create a cycle in start_dag")
+            start_dag.remove_edges_from(expert_knowledge.forbidden_edges)
 
         tabu_list = deque(maxlen=int(tabu_length))
         current_model = start_dag
