@@ -58,6 +58,9 @@ class CompiledAncestralSampler:
             self._node_specs.append((parent_idx, strides, log_table))
 
         self._forward_jit = jax.jit(self._forward, static_argnums=(1,))
+        self._forward_partial_jit = jax.jit(
+            self._forward_partial, static_argnums=(1,)
+        )
         self._lw_jit = jax.jit(self._likelihood_weighted, static_argnums=(1, 2))
 
     # ------------------------------------------------------------------ #
@@ -82,6 +85,25 @@ class CompiledAncestralSampler:
             else:
                 logits = jnp.broadcast_to(log_table[0], (n, log_table.shape[1]))
             draw = jax.random.categorical(keys[i], logits, axis=-1).astype(jnp.int32)
+            columns[i] = jnp.where(given[i] >= 0, given[i], draw)
+        return jnp.stack(columns, axis=1)
+
+    def _forward_partial(self, key, n, given, partial):
+        """Like ``_forward`` but with a per-row (n, d) ``partial`` array:
+        entries >= 0 replace the draw for that row BEFORE children are
+        sampled, so descendants condition on the supplied values (ref
+        Sampling.py:99-146 uses partial values as the node's samples).
+        Clamps (``given``, from do-interventions) take precedence."""
+        keys = jax.random.split(key, len(self.variables))
+        columns = [None] * len(self.variables)
+        for i, (parent_idx, strides, log_table) in enumerate(self._node_specs):
+            flat = self._parent_flat(columns, parent_idx, strides)
+            if parent_idx:
+                logits = log_table[flat]
+            else:
+                logits = jnp.broadcast_to(log_table[0], (n, log_table.shape[1]))
+            draw = jax.random.categorical(keys[i], logits, axis=-1).astype(jnp.int32)
+            draw = jnp.where(partial[:, i] >= 0, partial[:, i], draw)
             columns[i] = jnp.where(given[i] >= 0, given[i], draw)
         return jnp.stack(columns, axis=1)
 
@@ -122,11 +144,12 @@ class CompiledAncestralSampler:
         if clamp:
             for var, state in clamp.items():
                 given[self.var_index[var]] = state
-        samples = self._forward_jit(key, int(n), jnp.asarray(given))
         if partial is not None:
-            mask = partial >= 0
-            samples = jnp.where(mask, partial, samples)
-        return samples
+            return self._forward_partial_jit(
+                key, int(n), jnp.asarray(given),
+                jnp.asarray(partial, dtype=jnp.int32),
+            )
+        return self._forward_jit(key, int(n), jnp.asarray(given))
 
     def likelihood_weighted(self, n, evidence, seed=None):
         """evidence: {var: state_index}.  Returns (codes, log_weights)."""
