@@ -1,0 +1,318 @@
+"""Deep LinearGaussianBN / SEM / CausalInference tests.
+
+Mirrors the reference depth
+(/root/reference/pgmpy/tests/test_models/test_LinearGaussianBayesianNetwork.py
+568 LoC, test_SEM.py 1415 LoC, test_inference/test_CausalInference.py 1345
+LoC) with independent oracles: joint-Gaussian moments assembled by hand
+from the structural equations, covariance algebra for conditioning, OLS
+closed forms for ATE, and Pearl's canonical adjustment-set graphs.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pgmpy_tpu.factors.continuous import LinearGaussianCPD
+from pgmpy_tpu.inference import CausalInference
+from pgmpy_tpu.models import DiscreteBayesianNetwork, LinearGaussianBayesianNetwork, SEM, SEMGraph
+
+
+def _lgbn():
+    """x1 -> x2 -> x3 with hand-derivable joint:
+    x1 ~ N(1, sd=2), x2 = -5 + 0.5 x1 + N(0, sd=2),
+    x3 = 4 - x2 + N(0, sd=1).  (third CPD argument is the STANDARD
+    DEVIATION, variance = std^2 — ref LinearGaussianBayesianNetwork.py:255)."""
+    model = LinearGaussianBayesianNetwork([("x1", "x2"), ("x2", "x3")])
+    model.add_cpds(
+        LinearGaussianCPD("x1", [1.0], 2.0),
+        LinearGaussianCPD("x2", [-5.0, 0.5], 2.0, evidence=["x1"]),
+        LinearGaussianCPD("x3", [4.0, -1.0], 1.0, evidence=["x2"]))
+    return model
+
+
+def _lgbn_truth():
+    mu1, v1 = 1.0, 4.0
+    mu2 = -5 + 0.5 * mu1
+    v2 = 0.25 * v1 + 4.0
+    mu3 = 4 - mu2
+    v3 = v2 + 1.0
+    c12 = 0.5 * v1
+    c23 = -v2
+    c13 = -c12
+    mean = np.array([mu1, mu2, mu3])
+    cov = np.array([[v1, c12, c13],
+                    [c12, v2, c23],
+                    [c13, c23, v3]])
+    return mean, cov
+
+
+class TestLinearGaussianBN:
+    def test_joint_gaussian_moments(self):
+        model = _lgbn()
+        variables, mean, cov = model.to_joint_gaussian()
+        want_mean, want_cov = _lgbn_truth()
+        order = [variables.index(v) for v in ["x1", "x2", "x3"]]
+        np.testing.assert_allclose(np.asarray(mean)[order], want_mean,
+                                   atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(cov)[np.ix_(order, order)], want_cov, atol=1e-5)
+
+    def test_simulate_moments(self):
+        model = _lgbn()
+        df = model.simulate(n_samples=200_000, seed=0)
+        want_mean, want_cov = _lgbn_truth()
+        got_mean = df[["x1", "x2", "x3"]].mean().to_numpy()
+        got_cov = np.cov(df[["x1", "x2", "x3"]].to_numpy().T)
+        np.testing.assert_allclose(got_mean, want_mean, atol=0.05)
+        np.testing.assert_allclose(got_cov, want_cov, atol=0.12)
+
+    def test_log_likelihood_matches_scipy(self):
+        from scipy import stats
+
+        model = _lgbn()
+        df = model.simulate(n_samples=50, seed=1)
+        variables, mean, cov = model.to_joint_gaussian()
+        want = stats.multivariate_normal(
+            np.asarray(mean, dtype=np.float64),
+            np.asarray(cov, dtype=np.float64)).logpdf(
+                df[list(variables)].to_numpy()).sum()
+        got = model.log_likelihood(df)
+        assert got == pytest.approx(want, rel=1e-4)
+
+    def test_predict_is_gaussian_conditioning(self):
+        model = _lgbn()
+        data = pd.DataFrame({"x1": [0.0, 2.0], "x2": [-5.0, -4.0]})
+        want_mean, want_cov = _lgbn_truth()
+        # mu_3|12 = mu3 + S_3,12 S_12^-1 (x - mu_12)
+        S_a = want_cov[2:, :2]
+        S_bb = want_cov[:2, :2]
+        pred_mu = want_mean[2] + (
+            S_a @ np.linalg.solve(S_bb,
+                                  (data[["x1", "x2"]].to_numpy()
+                                   - want_mean[:2]).T)).ravel()
+        missing, mu, cond_cov = model.predict(data)
+        assert missing == ["x3"]
+        np.testing.assert_allclose(np.asarray(mu).ravel(), pred_mu,
+                                   atol=1e-5)
+        # conditional variance: S_aa - S_ab S_bb^-1 S_ba
+        want_var = (want_cov[2, 2]
+                    - S_a @ np.linalg.solve(S_bb, S_a.T)).item()
+        assert float(np.asarray(cond_cov).ravel()[0]) == pytest.approx(
+            want_var, abs=1e-5)
+
+    def test_fit_recovers_coefficients(self):
+        model = _lgbn()
+        df = model.simulate(n_samples=100_000, seed=2)
+        learned = LinearGaussianBayesianNetwork([("x1", "x2"), ("x2", "x3")])
+        learned.fit(df)
+        cpd2 = learned.get_cpds("x2")
+        beta = np.asarray(cpd2.beta, dtype=np.float64)
+        np.testing.assert_allclose(beta, [-5.0, 0.5], atol=0.05)
+        assert float(cpd2.std) == pytest.approx(2.0, abs=0.1)
+
+    def test_check_model_wrong_evidence(self):
+        model = LinearGaussianBayesianNetwork([("a", "b")])
+        model.add_cpds(LinearGaussianCPD("a", [0.0], 1.0))
+        with pytest.raises(ValueError):
+            model.add_cpds(LinearGaussianCPD("b", [0.0, 1.0], 1.0,
+                                             evidence=["c"]))
+            model.check_model()
+
+    def test_get_random_valid(self):
+        model = LinearGaussianBayesianNetwork.get_random(
+            n_nodes=6, edge_prob=0.5, seed=3)
+        assert model.check_model()
+        _, mean, cov = model.to_joint_gaussian()
+        # covariance must be symmetric PSD
+        c = np.asarray(cov, dtype=np.float64)
+        np.testing.assert_allclose(c, c.T, atol=1e-5)
+        assert np.linalg.eigvalsh(c).min() > -1e-6
+
+
+class TestSEMGraph:
+    def _demo(self):
+        return SEMGraph(
+            ebunch=[("xi1", "x1"), ("xi1", "x2"), ("xi1", "x3"),
+                    ("xi1", "eta1"), ("eta1", "y1"), ("eta1", "y2"),
+                    ("eta1", "y3"), ("eta1", "y4"), ("eta1", "eta2"),
+                    ("xi1", "eta2"), ("eta2", "y5"), ("eta2", "y6"),
+                    ("eta2", "y7"), ("eta2", "y8")],
+            latents=["xi1", "eta1", "eta2"])
+
+    def test_latents_and_observed(self):
+        g = self._demo()
+        assert g.latents == {"xi1", "eta1", "eta2"}
+        assert set(g.observed) == {"x1", "x2", "x3", "y1", "y2", "y3", "y4",
+                                   "y5", "y6", "y7", "y8"}
+
+    def test_scaling_indicators(self):
+        g = self._demo()
+        si = g.get_scaling_indicators()
+        assert si["xi1"] in {"x1", "x2", "x3"}
+        assert si["eta1"] in {"y1", "y2", "y3", "y4"}
+        assert si["eta2"] in {"y5", "y6", "y7", "y8"}
+
+    def test_to_lisrel_roundtrip_shape(self):
+        g = self._demo()
+        alg = g.to_lisrel()
+        n = len(list(g.nodes()))
+        assert np.asarray(alg.B_mask).shape == (n, n)
+        assert np.asarray(alg.S_mask).shape == (n, n)
+
+    def test_implied_covariance_closed_form(self):
+        # tiny observed-only SEM: x -> y with beta, error vars
+        g = SEMGraph(ebunch=[("x", "y")], err_var={"x": 1.0, "y": 0.25})
+        alg = g.to_lisrel()
+        # order of variables in alg
+        names = list(alg.variables)
+        B = np.zeros((len(names), len(names)))
+        B[names.index("y"), names.index("x")] = 2.0  # y = 2x + e
+        S = np.zeros_like(B)
+        S[names.index("x"), names.index("x")] = 1.0
+        S[names.index("y"), names.index("y")] = 0.25
+        sigma = np.asarray(alg.implied_covariance(B, S), dtype=np.float64)
+        obs = list(alg.observed)
+        ix, iy = obs.index("x"), obs.index("y")
+        assert sigma[ix, ix] == pytest.approx(1.0, abs=1e-6)
+        assert sigma[iy, iy] == pytest.approx(4.25, abs=1e-6)
+        assert sigma[ix, iy] == pytest.approx(2.0, abs=1e-6)
+
+    def test_sem_from_lavaan(self):
+        sem = SEM.from_lavaan("eta =~ y1 + y2\neta ~ x\n")
+        assert "eta" in sem.latents
+        edges = set(sem.edges())
+        assert ("eta", "y1") in edges and ("x", "eta") in edges
+
+
+class TestCausalAdjustment:
+    """Pearl's canonical 'games' — hand-known backdoor answers."""
+
+    def test_game1_no_confounding(self):
+        # X -> Y plus X <- A -> B? Simplest: direct arrow only
+        model = DiscreteBayesianNetwork([("X", "A"), ("A", "Y"), ("X", "Y")])
+        ci = CausalInference(model)
+        assert ci.is_valid_backdoor_adjustment_set("X", "Y", Z=[])
+
+    def test_simple_confounder(self):
+        model = DiscreteBayesianNetwork([("Z", "X"), ("Z", "Y"), ("X", "Y")])
+        ci = CausalInference(model)
+        assert not ci.is_valid_backdoor_adjustment_set("X", "Y", Z=[])
+        assert ci.is_valid_backdoor_adjustment_set("X", "Y", Z=["Z"])
+        assert ci.get_minimal_adjustment_set("X", "Y") == {"Z"}
+
+    def test_collider_must_not_be_adjusted(self):
+        model = DiscreteBayesianNetwork([("X", "C"), ("Y", "C"), ("X", "Y")])
+        ci = CausalInference(model)
+        assert ci.is_valid_backdoor_adjustment_set("X", "Y", Z=[])
+        assert not ci.is_valid_backdoor_adjustment_set("X", "Y", Z=["C"])
+
+    def test_mgraph_empty_set_valid(self):
+        # M-graph: adjusting the collider's descendant opens a path
+        model = DiscreteBayesianNetwork(
+            [("U1", "Z"), ("U2", "Z"), ("U1", "X"), ("U2", "Y"),
+             ("X", "Y")], latents=["U1", "U2"])
+        ci = CausalInference(model)
+        assert ci.is_valid_backdoor_adjustment_set("X", "Y", Z=[])
+        assert not ci.is_valid_backdoor_adjustment_set("X", "Y", Z=["Z"])
+
+    def test_frontdoor_canonical(self):
+        model = DiscreteBayesianNetwork(
+            [("X", "M"), ("M", "Y"), ("U", "X"), ("U", "Y")], latents=["U"])
+        ci = CausalInference(model)
+        assert ci.is_valid_frontdoor_adjustment_set("X", "Y", Z=["M"])
+        sets = ci.get_all_frontdoor_adjustment_sets("X", "Y")
+        assert frozenset(["M"]) in sets
+
+    def test_backdoor_query_matches_hand_sum(self):
+        # P(Y | do(X=x)) = sum_z P(Y | x, z) P(z)
+        from pgmpy_tpu.factors import TabularCPD
+
+        model = DiscreteBayesianNetwork([("Z", "X"), ("Z", "Y"), ("X", "Y")])
+        model.add_cpds(
+            TabularCPD("Z", 2, [[0.3], [0.7]]),
+            TabularCPD("X", 2, [[0.8, 0.3], [0.2, 0.7]],
+                       evidence=["Z"], evidence_card=[2]),
+            TabularCPD("Y", 2,
+                       [[0.9, 0.5, 0.4, 0.1], [0.1, 0.5, 0.6, 0.9]],
+                       evidence=["X", "Z"], evidence_card=[2, 2]))
+        ci = CausalInference(model)
+        phi = ci.query(["Y"], do={"X": 0}, show_progress=False)
+        want0 = 0.3 * 0.9 + 0.7 * 0.5  # P(Y=0|do X=0)
+        got = np.asarray(phi.values, dtype=np.float64)
+        assert got[0] == pytest.approx(want0, abs=1e-5)
+
+    def test_query_adjustment_equals_manual_set(self):
+        from pgmpy_tpu.factors import TabularCPD
+
+        model = DiscreteBayesianNetwork([("Z", "X"), ("Z", "Y"), ("X", "Y")])
+        model.get_random_cpds(inplace=True, seed=5)
+        ci = CausalInference(model)
+        a = ci.query(["Y"], do={"X": 0}, show_progress=False)
+        b = ci.query(["Y"], do={"X": 0}, adjustment_set=["Z"],
+                     show_progress=False)
+        np.testing.assert_allclose(
+            np.asarray(a.values, dtype=np.float64),
+            np.asarray(b.values, dtype=np.float64), atol=1e-6)
+
+
+class TestEstimateATE:
+    def test_backdoor_linear_ate(self):
+        # continuous SCM: Z ~ N, X = 0.7 Z + e, Y = 1.5 X + 0.5 Z + e
+        rng = np.random.default_rng(0)
+        n = 40_000
+        z = rng.normal(size=n)
+        x = 0.7 * z + rng.normal(size=n)
+        y = 1.5 * x + 0.5 * z + rng.normal(size=n)
+        data = pd.DataFrame({"Z": z, "X": x, "Y": y})
+        model = DiscreteBayesianNetwork([("Z", "X"), ("Z", "Y"), ("X", "Y")])
+        ci = CausalInference(model)
+        ate = ci.estimate_ate("X", "Y", data=data, estimator_type="linear")
+        assert ate == pytest.approx(1.5, abs=0.03)
+
+    def test_naive_regression_is_biased_here(self):
+        # sanity: the adjusted ATE must differ from naive OLS slope
+        rng = np.random.default_rng(1)
+        n = 40_000
+        z = rng.normal(size=n)
+        x = 0.7 * z + rng.normal(size=n)
+        y = 1.5 * x + 2.0 * z + rng.normal(size=n)
+        data = pd.DataFrame({"Z": z, "X": x, "Y": y})
+        naive = np.polyfit(x, y, 1)[0]
+        model = DiscreteBayesianNetwork([("Z", "X"), ("Z", "Y"), ("X", "Y")])
+        ate = CausalInference(model).estimate_ate(
+            "X", "Y", data=data, estimator_type="linear")
+        assert abs(naive - 1.5) > 0.3
+        assert ate == pytest.approx(1.5, abs=0.03)
+
+    def test_unknown_estimator_raises(self):
+        model = DiscreteBayesianNetwork([("X", "Y")])
+        with pytest.raises((ValueError, NotImplementedError)):
+            CausalInference(model).estimate_ate(
+                "X", "Y", data=pd.DataFrame({"X": [0.0], "Y": [0.0]}),
+                estimator_type="nonsense")
+
+
+class TestIVs:
+    def test_classic_iv_graph(self):
+        # I -> X -> Y with X <- U -> Y: I is an instrument
+        model = DiscreteBayesianNetwork(
+            [("I", "X"), ("X", "Y"), ("U", "X"), ("U", "Y")], latents=["U"])
+        ci = CausalInference(model)
+        ivs = ci.get_ivs("X", "Y")
+        assert "I" in ivs
+
+    def test_conditional_iv(self):
+        # W d-connects I to Y; conditioning on W makes I a conditional IV
+        model = DiscreteBayesianNetwork(
+            [("I", "X"), ("X", "Y"), ("U", "X"), ("U", "Y"), ("W", "I"),
+             ("W", "Y")], latents=["U"])
+        ci = CausalInference(model)
+        civs = ci.get_conditional_ivs("X", "Y")
+        assert any(iv == "I" and "W" in cond for iv, cond in civs)
+
+    def test_no_iv_when_direct_edge(self):
+        model = DiscreteBayesianNetwork(
+            [("I", "X"), ("I", "Y"), ("X", "Y"), ("U", "X"), ("U", "Y")],
+            latents=["U"])
+        ci = CausalInference(model)
+        assert "I" not in ci.get_ivs("X", "Y")
