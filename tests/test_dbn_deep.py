@@ -1,0 +1,200 @@
+"""Deep DynamicBayesianNetwork tests.
+
+Mirrors the reference suite depth
+(/root/reference/pgmpy/tests/test_models/test_DynamicBayesianNetwork.py,
+1635 LoC): DynamicNode semantics, the 2-TBN edge contract (slice
+normalization, intra-slice mirroring, no backward edges), interface
+machinery, initialize_initial_state, unrolling, MLE fitting from long
+time series against hand crosstabs, and simulate marginals against a
+hand-computed HMM forward recursion.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pgmpy_tpu.factors import TabularCPD
+from pgmpy_tpu.models import DynamicBayesianNetwork
+from pgmpy_tpu.models.dynamic_bn import DynamicNode
+
+
+class TestDynamicNode:
+    def test_tuple_protocol(self):
+        n = DynamicNode("X", 0)
+        assert n[0] == "X" and n[1] == 0
+        assert len(n) == 2
+        assert tuple(n) == ("X", 0)
+
+    def test_equality_with_plain_tuple(self):
+        assert DynamicNode("X", 0) == ("X", 0)
+        assert hash(DynamicNode("X", 0)) == hash(("X", 0))
+
+    def test_ordering(self):
+        assert DynamicNode("A", 0) < DynamicNode("A", 1)
+
+    def test_str(self):
+        assert "X" in str(DynamicNode("X", 0))
+
+
+class TestEdgeContract:
+    def test_intra_edge_mirrored(self):
+        dbn = DynamicBayesianNetwork()
+        dbn.add_edge(("A", 0), ("B", 0))
+        assert dbn.has_edge(("A", 0), ("B", 0))
+        assert dbn.has_edge(("A", 1), ("B", 1))
+
+    def test_inter_edge_normalized_to_0_1(self):
+        dbn = DynamicBayesianNetwork()
+        dbn.add_edge(("A", 3), ("A", 4))
+        assert dbn.has_edge(("A", 0), ("A", 1))
+
+    def test_backward_edge_rejected(self):
+        dbn = DynamicBayesianNetwork()
+        with pytest.raises(NotImplementedError):
+            dbn.add_edge(("A", 1), ("A", 0))
+
+    def test_multi_slice_edge_rejected(self):
+        dbn = DynamicBayesianNetwork()
+        with pytest.raises(ValueError):
+            dbn.add_edge(("A", 0), ("A", 2))
+
+    def test_malformed_node_rejected(self):
+        dbn = DynamicBayesianNetwork()
+        with pytest.raises(ValueError):
+            dbn.add_edge("A", "B")
+
+    def test_self_loop_rejected(self):
+        dbn = DynamicBayesianNetwork()
+        with pytest.raises(ValueError):
+            dbn.add_edge(("A", 0), ("A", 0))
+
+    def test_intra_inter_accessors(self):
+        dbn = DynamicBayesianNetwork()
+        dbn.add_edges_from([(("Z", 0), ("X", 0)), (("Z", 0), ("Z", 1))])
+        assert set(dbn.get_intra_edges(0)) == {(("Z", 0), ("X", 0))}
+        assert set(dbn.get_intra_edges(1)) == {(("Z", 1), ("X", 1))}
+        assert set(dbn.get_inter_edges()) == {(("Z", 0), ("Z", 1))}
+        assert dbn.get_interface_nodes(0) == [("Z", 0)]
+
+    def test_slice_nodes(self):
+        dbn = DynamicBayesianNetwork()
+        dbn.add_edges_from([(("A", 0), ("B", 0)), (("A", 0), ("A", 1))])
+        assert set(dbn.get_slice_nodes(1)) == {("A", 1), ("B", 1)}
+
+
+def _hmm_dbn():
+    dbn = DynamicBayesianNetwork()
+    dbn.add_edges_from([(("Z", 0), ("X", 0)), (("Z", 0), ("Z", 1)),
+                        (("Z", 1), ("X", 1))])
+    dbn.add_cpds(
+        TabularCPD(("Z", 0), 2, [[0.6], [0.4]]),
+        TabularCPD(("X", 0), 2, [[0.9, 0.3], [0.1, 0.7]],
+                   evidence=[("Z", 0)], evidence_card=[2]),
+        TabularCPD(("Z", 1), 2, [[0.75, 0.25], [0.25, 0.75]],
+                   evidence=[("Z", 0)], evidence_card=[2]),
+        TabularCPD(("X", 1), 2, [[0.9, 0.3], [0.1, 0.7]],
+                   evidence=[("Z", 1)], evidence_card=[2]))
+    dbn.initialize_initial_state()
+    return dbn
+
+
+class TestStateAndUnroll:
+    def test_initialize_fills_missing(self):
+        dbn = DynamicBayesianNetwork()
+        dbn.add_edges_from([(("Z", 0), ("Z", 1))])
+        dbn.add_cpds(
+            TabularCPD(("Z", 0), 2, [[0.6], [0.4]]),
+            TabularCPD(("Z", 1), 2, [[0.75, 0.25], [0.25, 0.75]],
+                       evidence=[("Z", 0)], evidence_card=[2]))
+        dbn.initialize_initial_state()
+        assert dbn.check_model()
+
+    def test_check_model_sum_violation(self):
+        dbn = DynamicBayesianNetwork()
+        dbn.add_edges_from([(("Z", 0), ("Z", 1))])
+        bad = TabularCPD(("Z", 0), 2, [[0.6], [0.4]])
+        bad.values = np.array([0.9, 0.4])
+        bad._is_valid_cpd = None
+        dbn.add_cpds(bad)
+        with pytest.raises(ValueError):
+            dbn.check_model()
+
+    def test_get_constant_bn_values(self):
+        dbn = _hmm_dbn()
+        bn = dbn.get_constant_bn()
+        np.testing.assert_allclose(
+            np.asarray(bn.get_cpds("Z_1").get_values(), dtype=np.float64),
+            [[0.75, 0.25], [0.25, 0.75]])
+        assert set(bn.edges()) == {("Z_0", "X_0"), ("Z_0", "Z_1"),
+                                   ("Z_1", "X_1")}
+        assert bn.check_model()
+
+    def test_get_constant_bn_offset(self):
+        dbn = _hmm_dbn()
+        bn = dbn.get_constant_bn(t_slice=3)
+        assert ("Z_3", "Z_4") in bn.edges()
+
+    def test_moralize(self):
+        dbn = _hmm_dbn()
+        moral = dbn.moralize()
+        assert moral.has_edge(("Z", 0), ("X", 0))
+
+    def test_copy_independent(self):
+        dbn = _hmm_dbn()
+        clone = dbn.copy()
+        clone.add_edge(("X", 0), ("X", 1))
+        assert not dbn.has_edge(("X", 0), ("X", 1))
+        assert len(clone.get_cpds()) == len(dbn.get_cpds())
+
+    def test_get_markov_blanket(self):
+        dbn = _hmm_dbn()
+        mb = dbn.get_markov_blanket(("Z", 1))
+        assert ("Z", 0) in mb and ("X", 1) in mb
+
+
+class TestSimulateAndFit:
+    def test_simulate_matches_hmm_forward(self):
+        dbn = _hmm_dbn()
+        T = 4
+        df = dbn.simulate(n_samples=40_000, n_time_slices=T, seed=0,
+                          show_progress=False)
+        # hand HMM: P(Z_t) = M^t pi, P(X_t=0) = .9 P(Z_t=0) + .3 P(Z_t=1)
+        M = np.array([[0.75, 0.25], [0.25, 0.75]])
+        pi = np.array([0.6, 0.4])
+        for t in range(T):
+            want_x0 = 0.9 * pi[0] + 0.3 * pi[1]
+            col = df[("X", t)]
+            assert (col == 0).mean() == pytest.approx(want_x0, abs=0.012)
+            pi = M @ pi
+
+    def test_fit_recovers_transition(self):
+        truth = _hmm_dbn()
+        T = 6
+        df = truth.simulate(n_samples=8_000, n_time_slices=T, seed=1,
+                            show_progress=False)
+        learned = DynamicBayesianNetwork()
+        learned.add_edges_from([(("Z", 0), ("X", 0)), (("Z", 0), ("Z", 1)),
+                                (("Z", 1), ("X", 1))])
+        learned.fit(df)
+        got = np.asarray(learned.get_cpds(("Z", 1)).get_values(),
+                         dtype=np.float64)
+        np.testing.assert_allclose(got, [[0.75, 0.25], [0.25, 0.75]],
+                                   atol=0.03)
+        got_em = np.asarray(learned.get_cpds(("X", 0)).get_values(),
+                            dtype=np.float64)
+        np.testing.assert_allclose(got_em, [[0.9, 0.3], [0.1, 0.7]],
+                                   atol=0.03)
+
+    def test_fit_rejects_bad_columns(self):
+        learned = DynamicBayesianNetwork()
+        learned.add_edges_from([(("Z", 0), ("Z", 1))])
+        df = pd.DataFrame({("Z", 1): [0, 1], ("Z", 2): [1, 0]})
+        with pytest.raises(ValueError):
+            learned.fit(df)
+
+    def test_fit_rejects_non_mle(self):
+        learned = DynamicBayesianNetwork()
+        learned.add_edges_from([(("Z", 0), ("Z", 1))])
+        df = pd.DataFrame({("Z", 0): [0, 1], ("Z", 1): [1, 0]})
+        with pytest.raises(ValueError):
+            learned.fit(df, estimator="EM")
