@@ -119,6 +119,89 @@ class SEMGraph:
                     break
         return indicators
 
+    def to_standard_lisrel(self):
+        """Standard (restricted) LISREL form: eta = B eta + Gamma xi + zeta,
+        y = wedge_y eta + eps, x = wedge_x xi + delta.
+
+        Observed nodes with outgoing structural edges violate the standard
+        form, so each gets a proxy latent ``_l_<name>`` with a fixed unit
+        loading (ref ``models/SEM.py:581-685``).  Returns
+        ``(var_names, edges_masks, fixed_masks)`` where the masks dicts hold
+        the B/gamma/wedge_y/wedge_x/phi/psi/theta_e/theta_del matrices.
+        """
+        graph = self.graph.copy()
+        err_graph = self.err_graph.copy()
+        latents = set(self.latents)
+
+        def _promote(nodes):
+            """Give each observed node in ``nodes`` a proxy latent parent
+            carrying its structural role."""
+            mapping = {v: "_l_" + str(v) for v in nodes}
+            nonlocal graph
+            graph = nx.relabel_nodes(graph, mapping, copy=True)
+            for old, proxy in mapping.items():
+                graph.add_edge(proxy, old, weight=1.0)
+            err_graph.add_nodes_from(mapping.values())
+            latents.update(mapping.values())
+            return set(mapping.values())
+
+        # any observed node that is a structural source must become latent
+        sources = {u for u, v in graph.edges() if u not in latents}
+        if sources:
+            _promote(sources)
+
+        latent_sub = graph.subgraph(latents)
+        in_deg = graph.in_degree()
+        eta = [v for v in latent_sub.nodes() if in_deg[v]]
+        xi = [v for v in latent_sub.nodes() if not in_deg[v]]
+
+        x_vars, y_vars = set(), set()
+        for exo in xi:
+            x_vars.update(c for c in graph.neighbors(exo) if c not in latents)
+        for endo in eta:
+            y_vars.update(c for c in graph.neighbors(endo) if c not in latents)
+
+        # indicators loaded by both an eta and a xi would be dropped from
+        # wedge_x/wedge_y; promote them so they land in y only
+        shared = x_vars & y_vars
+        if shared:
+            proxies = _promote(shared)
+            eta.extend(sorted(proxies, key=str))
+            x_vars -= shared
+
+        var_names = {
+            "eta": eta,
+            "xi": xi,
+            "y": sorted(y_vars, key=str),
+            "x": sorted(x_vars, key=str),
+        }
+
+        def masks(weight):
+            ordering = (var_names["y"] + var_names["x"]
+                        + var_names["eta"] + var_names["xi"])
+            p, q, m = (len(var_names["y"]), len(var_names["x"]),
+                       len(var_names["eta"]))
+            # transpose: rows = targets (incoming edges)
+            adj = nx.to_numpy_array(graph, nodelist=ordering,
+                                    weight=weight).T
+            err = nx.to_numpy_array(err_graph, nodelist=ordering,
+                                    weight=weight)
+            if weight is None:
+                np.fill_diagonal(err, 1.0)
+            s = p + q
+            return {
+                "B": adj[s:s + m, s:s + m],
+                "gamma": adj[s:s + m, s + m:],
+                "wedge_y": adj[:p, s:s + m],
+                "wedge_x": adj[p:s, s + m:],
+                "phi": err[s + m:, s + m:],
+                "psi": err[s:s + m, s:s + m],
+                "theta_e": err[:p, :p],
+                "theta_del": err[p:s, p:s],
+            }
+
+        return var_names, masks(None), masks("weight")
+
     def moralize(self, graph="graph"):
         g = self.graph if graph == "graph" else self.err_graph
         moral = nx.moral_graph(g) if g.is_directed() else g.copy()

@@ -316,3 +316,40 @@ class TestIVs:
             latents=["U"])
         ci = CausalInference(model)
         assert "I" not in ci.get_ivs("X", "Y")
+
+
+class TestStandardLisrel:
+    def test_measurement_model_matrices(self):
+        g = SEMGraph(
+            ebunch=[("xi1", "x1"), ("xi1", "x2"), ("xi1", "eta1"),
+                    ("eta1", "y1"), ("eta1", "y2"), ("eta1", "eta2"),
+                    ("eta2", "y3")],
+            latents=["xi1", "eta1", "eta2"])
+        names, masks, fixed = g.to_standard_lisrel()
+        assert sorted(names["xi"]) == ["xi1"]
+        assert sorted(names["eta"]) == ["eta1", "eta2"]
+        assert sorted(names["y"]) == ["y1", "y2", "y3"]
+        assert sorted(names["x"]) == ["x1", "x2"]
+        p, m, n = len(names["y"]), len(names["eta"]), len(names["xi"])
+        assert np.asarray(masks["B"]).shape == (m, m)
+        assert np.asarray(masks["gamma"]).shape == (m, n)
+        assert np.asarray(masks["wedge_y"]).shape == (p, m)
+        # every eta loads its own indicators
+        wy = np.asarray(masks["wedge_y"])
+        for j, eta in enumerate(names["eta"]):
+            children = {"eta1": {"y1", "y2"}, "eta2": {"y3"}}[eta]
+            for i, y in enumerate(names["y"]):
+                assert wy[i, j] == (1.0 if y in children else 0.0)
+        # eta2 <- eta1 in B; eta1 <- xi1 in gamma
+        B = np.asarray(masks["B"])
+        i1, i2 = names["eta"].index("eta1"), names["eta"].index("eta2")
+        assert B[i2, i1] == 1.0 and B[i1, i2] == 0.0
+        assert np.asarray(masks["gamma"])[i1, 0] == 1.0
+
+    def test_observed_source_promoted(self):
+        g = SEMGraph(ebunch=[("x", "y")])
+        names, masks, fixed = g.to_standard_lisrel()
+        assert "_l_x" in names["xi"] or "_l_x" in names["eta"]
+        # proxy loading fixed at 1
+        fx = np.asarray(fixed["wedge_x"])
+        assert (fx == 1.0).any() or (np.asarray(fixed["wedge_y"]) == 1.0).any()
