@@ -201,7 +201,9 @@ class TestADMGMAG:
     def test_mag_ancestral_and_maximal(self):
         mag = MAG(directed_ebunch=[("a", "b")], bidirected_ebunch=[("b", "c")])
         assert mag.is_ancestral()
-        bad = MAG(directed_ebunch=[("b", "c")], bidirected_ebunch=[("b", "c")])
+        # b -> m -> c with b <-> c: b is an ancestor of its spouse c
+        bad = MAG(directed_ebunch=[("b", "m"), ("m", "c")],
+                  bidirected_ebunch=[("b", "c")])
         assert not bad.is_ancestral()
 
 
