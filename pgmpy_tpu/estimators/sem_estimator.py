@@ -36,6 +36,45 @@ class SEMEstimator:
         S_free = jnp.asarray(self.alg.S_mask & np.isnan(self.alg.S_fixed))
         return B_mask, S_mask, jnp.asarray(B_fixed), jnp.asarray(S_fixed), B_free, S_free
 
+    def get_init_values(self, data, method="random", seed=None):
+        """Starting (B, zeta) matrices for the optimizer (ref
+        SEMEstimator.py:173-217, Bollen Table 4C.1 'std' recipe)."""
+        variables = list(self.alg.variables)
+        m = len(variables)
+        rng = np.random.default_rng(seed)
+        B = rng.random((m, m))
+        zeta = rng.random((m, m))
+        if method == "random":
+            return B, zeta
+        if method == "std":
+            a = 0.4
+            scaling = {}
+            if hasattr(self.model, "get_scaling_indicators"):
+                scaling = dict(self.model.get_scaling_indicators())
+            for var in variables:
+                scaling.setdefault(var, var)
+            std = {
+                v: (data.loc[:, scaling[v]].std()
+                    if scaling[v] in data.columns else 1.0)
+                for v in variables
+            }
+            for i in range(m):
+                for j in range(m):
+                    if scaling[variables[i]] == variables[j]:
+                        B[i, j] = 1.0
+                    elif i != j:
+                        B[i, j] = a * (std[variables[i]] / std[variables[j]])
+            for i in range(m):
+                zeta[i, i] = a * std[variables[i]] ** 2
+            for i in range(m):
+                for j in range(m):
+                    if i != j:
+                        zeta[i, j] = zeta[j, i] = a * np.sqrt(
+                            zeta[i, i] * zeta[j, j]
+                        )
+            return B, zeta
+        raise NotImplementedError(f"Initialization method {method} not supported.")
+
     def ml_loss(self, params, loss_args):
         """-2 log-likelihood (up to constants): log|Sigma| + tr(S Sigma^-1)."""
         S_emp = loss_args["S"]

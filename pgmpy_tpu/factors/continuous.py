@@ -33,6 +33,11 @@ class LinearGaussianCPD:
     def scope(self):
         return self.variables
 
+    def is_valid_cpd(self):
+        """Finite coefficients and positive noise scale (the reference's
+        BaseFactor hook, ref factors/base.py:16, is an empty stub)."""
+        return bool(np.isfinite(self.beta).all() and self.std >= 0)
+
     def copy(self):
         return LinearGaussianCPD(
             self.variable, self.beta.copy(), self.std, list(self.evidence)

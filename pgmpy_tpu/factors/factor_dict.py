@@ -10,6 +10,10 @@ from pgmpy_tpu.factors.discrete import DiscreteFactor
 
 
 class FactorDict(dict):
+    def get_factors(self):
+        """Set of the contained factors (ref FactorDict.py:52)."""
+        return set(self.values())
+
     @classmethod
     def from_dataframe(cls, df, marginals):
         """Empirical (count) marginals of ``df`` over each clique in

@@ -20,6 +20,11 @@ class FunctionalCPD:
         self.parents = list(parents)
         self.variables = [variable] + self.parents
 
+    def is_valid_cpd(self):
+        """Functional CPDs are valid by construction (reference's BaseFactor
+        hook, ref factors/base.py:16, is an empty stub)."""
+        return True
+
     def sample(self, n_samples=100, parent_sample=None, seed=None):
         """Draw samples; ``parent_sample`` is a DataFrame of parent values
         (row-aligned) when the CPD has parents."""

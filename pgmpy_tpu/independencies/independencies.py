@@ -189,6 +189,11 @@ class Independencies:
     def is_equivalent(self, other):
         return self.entails(other) and other.entails(self)
 
+    def get_factorized_product(self, random_variables=None, latex=False):
+        """Unimplemented in the reference as well (ref Independencies.py:387-396
+        is a bare TODO) — kept for API parity."""
+        return None
+
     def reduce(self, inplace=False):
         """Remove assertions that are entailed by the remaining ones."""
         kept = list(self.independencies)

@@ -91,3 +91,33 @@ class ApproxInference:
         return self.get_distribution(
             samples, variables=variables, state_names=state_names, joint=joint
         )
+
+    def map_query(
+        self,
+        variables,
+        n_samples=10000,
+        samples=None,
+        evidence=None,
+        virtual_evidence=None,
+        state_names=None,
+        show_progress=True,
+        seed=None,
+    ):
+        """Most probable joint state of ``variables`` from the empirical
+        distribution (ref ApproxInference.py:206-302)."""
+        phi = self.query(
+            variables,
+            n_samples=n_samples,
+            samples=samples,
+            evidence=evidence,
+            virtual_evidence=virtual_evidence,
+            joint=True,
+            state_names=state_names,
+            show_progress=show_progress,
+            seed=seed,
+        )
+        values = np.asarray(phi.values, dtype=np.float64)
+        idx = np.unravel_index(int(np.argmax(values)), values.shape)
+        return {
+            var: phi.state_names[var][i] for var, i in zip(phi.variables, idx)
+        }

@@ -82,6 +82,41 @@ class BeliefPropagationWithMessagePassing:
                 break
         return f2v
 
+    def calc_variable_node_message(self, variable, incoming_messages):
+        """Outgoing variable-node message: normalized elementwise product of
+        the incoming messages (ref ExactInference.py:1619-1638)."""
+        if not incoming_messages:
+            return np.ones(self.cardinality[variable]) / self.cardinality[variable]
+        if len(incoming_messages) == 1:
+            return np.asarray(incoming_messages[0], dtype=np.float64)
+        out = np.asarray(incoming_messages[0], dtype=np.float64)
+        for m in incoming_messages[1:]:
+            out = out * np.asarray(m, dtype=np.float64)
+        return out / out.sum()
+
+    @staticmethod
+    def calc_factor_node_message(factor, incoming_messages, target_var):
+        """Outgoing factor-node message toward ``target_var``: multiply the
+        factor table by the incoming messages (one per non-target variable,
+        in the factor's variable order) and sum the rest out
+        (ref ExactInference.py:1641-1681)."""
+        table = np.asarray(factor.values, dtype=np.float64)
+        if len(incoming_messages) != table.ndim - 1:
+            raise AssertionError(
+                "The number of incoming messages must match the number of "
+                "non-target variables in the factor"
+            )
+        others = [v for v in factor.variables if v != target_var]
+        target_axis = factor.variables.index(target_var)
+        moved = np.moveaxis(table, target_axis, -1)
+        for message in incoming_messages:
+            moved = moved * np.asarray(message, dtype=np.float64).reshape(
+                -1, *([1] * (moved.ndim - 1))
+            )
+            moved = moved.sum(axis=0)
+        out = moved
+        return out / out.sum()
+
     def query(self, variables, evidence=None, virtual_evidence=None, get_messages=False):
         """Marginal beliefs of ``variables`` given point-mass evidence and
         virtual-evidence messages."""

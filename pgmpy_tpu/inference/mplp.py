@@ -68,6 +68,30 @@ class Mplp(Inference):
         self.best_decoded_value = -np.inf
         self.dual_gap = np.inf
 
+    class Cluster:
+        """A cluster of variables with its log potential (reference inner
+        class, ref mplp.py:134-192)."""
+
+        def __init__(self, intersection_set_variables, cluster_potential):
+            self.cluster_variables = frozenset(cluster_potential.variables)
+            self.cluster_potential = cluster_potential.copy()
+            self.intersection_sets_for_cluster_c = [
+                intersect.intersection(self.cluster_variables)
+                for intersect in intersection_set_variables
+                if intersect.intersection(self.cluster_variables)
+            ]
+
+    def query(self):
+        raise NotImplementedError("map_query() is the only query method available.")
+
+    def find_triangles(self):
+        """All 3-cliques of the model graph (ref mplp.py:346-370)."""
+        import networkx as nx
+
+        return list(
+            filter(lambda x: len(x) == 3, nx.find_cliques(self.model))
+        )
+
     # ------------------------------------------------------------------ #
     def _delta(self, i):
         """delta_i = theta_i + sum of incoming cluster messages."""

@@ -33,6 +33,16 @@ class BayesianModelProbability:
 
         self._logp = logp
 
+    def pre_compute_reduce(self, variable):
+        """Reference BayesianModelInference surface (ref sampling/base.py:38)."""
+        return self.sampler.pre_compute_reduce(variable)
+
+    def pre_compute_reduce_maps(self, variable, evidence=None,
+                                state_combinations=None):
+        return self.sampler.pre_compute_reduce_maps(
+            variable, evidence=evidence, state_combinations=state_combinations
+        )
+
     def _encode(self, data):
         codes = np.empty((data.shape[0], len(self.sampler.variables)), dtype=np.int32)
         for j, var in enumerate(self.sampler.variables):

@@ -199,7 +199,42 @@ class BIFReader:
         return model
 
 
-class BIFWriter:
+class _WriterIntrospection:
+    """Shared model-introspection surface for writers (the reference's
+    writers each expose these builders, e.g. ref BIF.py:470-651)."""
+
+    def get_variables(self):
+        return sorted(map(str, self.model.nodes()), key=str)
+
+    def get_states(self):
+        return {
+            str(v): [str(s) for s in self.model.get_cpds(v).state_names[v]]
+            for v in self.model.nodes()
+        }
+
+    def get_parents(self):
+        return {
+            str(v): [str(p) for p in self.model.get_cpds(v).variables[1:]]
+            for v in self.model.nodes()
+        }
+
+    def get_properties(self):
+        return {
+            str(v): [
+                f"{k} = {val}" for k, val in sorted(self.model.nodes[v].items())
+                if val is not None
+            ]
+            for v in self.model.nodes()
+        }
+
+    def get_cpds(self):
+        return {
+            str(v): np.asarray(self.model.get_cpds(v).get_values())
+            for v in self.model.nodes()
+        }
+
+
+class BIFWriter(_WriterIntrospection):
     """Serialize a DiscreteBayesianNetwork to BIF text."""
 
     def __init__(self, model):
@@ -251,6 +286,10 @@ class BIFWriter:
         return "".join(out)
 
     def write_bif(self, filename):
+        self.write_file(filename)
+
+    def write(self, filename):
+        """Reference-name alias for write_file."""
         self.write_file(filename)
 
     def write_file(self, filename):

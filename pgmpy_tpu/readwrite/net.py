@@ -76,6 +76,17 @@ class NETReader:
     def get_parents(self):
         return dict(self.variable_parents)
 
+    def get_values(self):
+        return dict(self.tables)
+
+    def get_network_name(self):
+        return self.network_name
+
+    def get_property(self):
+        """NET files carry no per-variable property lines here — empty
+        lists per variable, matching the reference's shape."""
+        return {var: [] for var in self.variable_names}
+
     def get_edges(self):
         return [
             [parent, child]
@@ -118,6 +129,37 @@ class NETWriter:
         model.check_model()
         self.model = model
 
+    def get_variables(self):
+        return sorted(map(str, self.model.nodes()), key=str)
+
+    def get_states(self):
+        return {
+            str(v): [str(s) for s in self.model.get_cpds(v).state_names[v]]
+            for v in self.model.nodes()
+        }
+
+    def get_parents(self):
+        return {
+            str(v): [str(p) for p in self.model.get_cpds(v).variables[1:]]
+            for v in self.model.nodes()
+        }
+
+    def get_properties(self):
+        return {
+            str(v): [
+                f"{k} = {val}" for k, val in sorted(self.model.nodes[v].items())
+                if val is not None
+            ]
+            for v in self.model.nodes()
+        }
+
+    def get_cpds(self):
+        import numpy as np
+        return {
+            str(v): np.asarray(self.model.get_cpds(v).get_values())
+            for v in self.model.nodes()
+        }
+
     def get_string(self):
         model = self.model
         out = ["net\n{\n}\n"]
@@ -148,6 +190,10 @@ class NETWriter:
         return self.get_string()
 
     def write_net(self, filename):
+        self.write_file(filename)
+
+    def write(self, filename):
+        """Reference-name alias for write_file."""
         self.write_file(filename)
 
     def write_file(self, filename):

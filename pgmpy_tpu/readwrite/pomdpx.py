@@ -128,6 +128,32 @@ class PomdpXReader:
         dag[root.get("var")] = parse_node(root)
         return dag
 
+    def get_parameter(self, var):
+        """Parameter block of a CondProb/Func element: dispatches on the
+        declared type (TBL default, DD for decision diagrams — ref
+        PomdpX.py:136-276)."""
+        parameter_el = var.find("Parameter")
+        if parameter_el is None:
+            return {}
+        ptype = parameter_el.get("type", "TBL")
+        if ptype == "DD":
+            return self.get_parameter_dd(parameter_el)
+        return self.get_parameter_tbl(parameter_el)
+
+    def get_parameter_tbl(self, parameter_el):
+        """[{Instance: [...], ProbTable/ValueTable: [...]}] rows of a
+        TBL-typed parameter."""
+        rows = []
+        for entry in parameter_el.findall("Entry"):
+            instance = entry.find("Instance").text.split()
+            table_el = entry.find("ProbTable")
+            key = "ProbTable"
+            if table_el is None:
+                table_el = entry.find("ValueTable")
+                key = "ValueTable"
+            rows.append({"Instance": instance, key: table_el.text.split()})
+        return rows
+
     def get_initial_beliefs(self):
         return self._get_cond_probs("InitialStateBelief")
 
@@ -188,24 +214,82 @@ class PomdpXWriter:
             table_tag="ValueTable",
         )
 
+    def add_conditions(self, condition, condprob, table_tag="ProbTable"):
+        """Emit Var/Parent/Parameter of one condition block into
+        ``condprob`` (ref PomdpX.py:526-592)."""
+        etree.SubElement(condprob, "Var").text = condition["Var"]
+        etree.SubElement(condprob, "Parent").text = " ".join(condition["Parent"])
+        param_type = condition.get("Type", "TBL")
+        parameter = etree.SubElement(
+            condprob, "Parameter", attrib={"type": param_type}
+        )
+        if param_type == "DD":
+            self.add_parameter_dd(parameter, condition["Parameter"])
+            return
+        for entry in condition["Parameter"]:
+            e = etree.SubElement(parameter, "Entry")
+            etree.SubElement(e, "Instance").text = " ".join(entry["Instance"])
+            key = (
+                table_tag
+                if table_tag in entry
+                else ("ProbTable" if "ProbTable" in entry else "ValueTable")
+            )
+            etree.SubElement(e, key).text = " ".join(entry[key])
+
+    def add_parameter_dd(self, dag_tag, node_dict):
+        """Emit a decision-diagram parameter into ``dag_tag`` (reference
+        public name, ref PomdpX.py:474-526)."""
+        self._write_parameter_dd(dag_tag, node_dict)
+
+    def indent(self, elem, level=0):
+        """In-place pretty-print formatter (ref PomdpX.py:392-409)."""
+        i = "\n" + level * "  "
+        if len(elem):
+            if not elem.text or not elem.text.strip():
+                elem.text = i + "  "
+            if not elem.tail or not elem.tail.strip():
+                elem.tail = i
+            for child in elem:
+                self.indent(child, level + 1)
+            if not child.tail or not child.tail.strip():
+                child.tail = i
+        else:
+            if level and (not elem.tail or not elem.tail.strip()):
+                elem.tail = i
+
+    def _section_string(self, el):
+        if el is None:
+            return ""
+        import copy
+
+        el = copy.deepcopy(el)
+        if self.prettyprint:
+            self.indent(el)
+        return etree.tostring(el, encoding="unicode").rstrip("\n")
+
+    def get_variables(self):
+        """Serialized <Variable> section (ref PomdpX.py:433-474)."""
+        return self._section_string(self.xml.find("Variable"))
+
+    def add_initial_belief(self):
+        return self._section_string(self.xml.find("InitialStateBelief"))
+
+    def add_state_transition_function(self):
+        return self._section_string(self.xml.find("StateTransitionFunction"))
+
+    def add_obs_function(self):
+        return self._section_string(self.xml.find("ObsFunction"))
+
+    def add_reward_function(self):
+        return self._section_string(self.xml.find("RewardFunction"))
+
     def _write_section(self, tag, cond_probs, entry_tag="CondProb", table_tag="ProbTable"):
         if not cond_probs:
             return
         section = etree.SubElement(self.xml, tag)
         for cond in cond_probs:
             el = etree.SubElement(section, entry_tag)
-            etree.SubElement(el, "Var").text = cond["Var"]
-            etree.SubElement(el, "Parent").text = " ".join(cond["Parent"])
-            param_type = cond.get("Type", "TBL")
-            parameter = etree.SubElement(el, "Parameter", attrib={"type": param_type})
-            if param_type == "DD":
-                self._write_parameter_dd(parameter, cond["Parameter"])
-                continue
-            for entry in cond["Parameter"]:
-                e = etree.SubElement(parameter, "Entry")
-                etree.SubElement(e, "Instance").text = " ".join(entry["Instance"])
-                key = table_tag if table_tag in entry else ("ProbTable" if "ProbTable" in entry else "ValueTable")
-                etree.SubElement(e, key).text = " ".join(entry[key])
+            self.add_conditions(cond, el, table_tag=table_tag)
 
     def _write_parameter_dd(self, parameter_el, dag_dict):
         """Inverse of PomdpXReader.get_parameter_dd (ref PomdpX.py:474-526)."""

@@ -46,6 +46,9 @@ class UAIReader:
     def get_variables(self):
         return list(self.variables)
 
+    def get_network_type(self):
+        return self.network_type
+
     def get_domain(self):
         return {f"var_{i}": str(c) for i, c in enumerate(self.domain)}
 
@@ -125,6 +128,57 @@ class UAIWriter:
             raise TypeError(f"Unsupported model type: {type(model)}")
         model.check_model()
 
+    def get_nodes(self):
+        """{variable: cardinality} in the writer's canonical order."""
+        model = self.model
+        if self.network_type == "BAYES":
+            return {
+                str(v): str(model.get_cpds(v).variable_card)
+                for v in sorted(model.nodes(), key=str)
+            }
+        card = model.get_cardinality()
+        return {str(v): str(card[v]) for v in sorted(model.nodes(), key=str)}
+
+    def get_domain(self):
+        """Reference-name alias of get_nodes (ref UAI.py)."""
+        return self.get_nodes()
+
+    def get_functions(self):
+        """Function scopes as variable-index lists."""
+        model = self.model
+        variables = sorted(model.nodes(), key=str)
+        var_index = {v: i for i, v in enumerate(variables)}
+        if self.network_type == "BAYES":
+            return [
+                [var_index[p] for p in model.get_cpds(v).variables[1:]]
+                + [var_index[v]]
+                for v in variables
+            ]
+        return [
+            [var_index[v] for v in f.variables] for f in model.get_factors()
+        ]
+
+    def get_tables(self):
+        """Flat probability tables, one list per function."""
+        import numpy as np
+
+        model = self.model
+        if self.network_type == "BAYES":
+            variables = sorted(model.nodes(), key=str)
+            out = []
+            for v in variables:
+                cpd = model.get_cpds(v)
+                # UAI order: parent configs slowest, child fastest
+                out.append(
+                    np.asarray(cpd.get_values(), dtype=np.float64)
+                    .T.ravel().tolist()
+                )
+            return out
+        return [
+            np.asarray(f.values, dtype=np.float64).ravel().tolist()
+            for f in model.get_factors()
+        ]
+
     def get_string(self):
         model = self.model
         variables = sorted(model.nodes(), key=str)
@@ -168,6 +222,10 @@ class UAIWriter:
         return self.get_string()
 
     def write_uai(self, filename):
+        self.write_file(filename)
+
+    def write(self, filename):
+        """Reference-name alias for write_file."""
         self.write_file(filename)
 
     def write_file(self, filename):

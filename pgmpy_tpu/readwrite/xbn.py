@@ -176,6 +176,80 @@ class XBNWriter:
                     repr(float(v)) for v in values[:, 0]
                 )
 
+    # ------------------------------------------------------------------ #
+    # reference-style section setters (ref XMLBeliefNetwork.py writer API):
+    # mutate the XML tree built in __init__
+    # ------------------------------------------------------------------ #
+    def set_analysisnotebook(self, **data):
+        for key, value in data.items():
+            self.network.set(str(key), str(value))
+
+    def set_bnmodel_name(self, name):
+        self.bnmodel.set("NAME", str(name))
+
+    def set_static_properties(self, **data):
+        static = self.bnmodel.find("STATICPROPERTIES")
+        for key, value in data.items():
+            etree.SubElement(static, str(key), attrib={"VALUE": str(value)})
+
+    def set_variables(self, data):
+        """Rebuild the VARIABLES section from a reader-format dict
+        {name: {"TYPE": ..., "XPOS": ..., "YPOS": ..., "DESCRIPTION": ...,
+        "STATES": [...]}}."""
+        variables = self.bnmodel.find("VARIABLES")
+        for el in list(variables):
+            variables.remove(el)
+        for name, info in data.items():
+            attrib = {"NAME": str(name), "TYPE": info.get("TYPE", "discrete")}
+            for key in ("XPOS", "YPOS"):
+                if info.get(key) is not None:
+                    attrib[key] = str(info[key])
+            var_el = etree.SubElement(variables, "VAR", attrib=attrib)
+            if info.get("DESCRIPTION"):
+                etree.SubElement(var_el, "DESCRIPTION").text = info["DESCRIPTION"]
+            for state in info.get("STATES", []):
+                etree.SubElement(var_el, "STATENAME").text = str(state)
+
+    def set_edges(self, edge_list):
+        structure = self.bnmodel.find("STRUCTURE")
+        for el in list(structure):
+            structure.remove(el)
+        for parent, child in edge_list:
+            etree.SubElement(
+                structure, "ARC",
+                attrib={"PARENT": str(parent), "CHILD": str(child)},
+            )
+
+    def set_distributions(self):
+        """Rebuild the DISTRIBUTIONS section from the model's CPDs."""
+        distributions = self.bnmodel.find("DISTRIBUTIONS")
+        for el in list(distributions):
+            distributions.remove(el)
+        for var in sorted(self.model.nodes(), key=str):
+            cpd = self.model.get_cpds(var)
+            dist = etree.SubElement(
+                distributions, "DIST", attrib={"TYPE": "discrete"}
+            )
+            parents = cpd.variables[1:]
+            if parents:
+                condset = etree.SubElement(dist, "CONDSET")
+                for p in parents:
+                    etree.SubElement(condset, "CONDELEM", attrib={"NAME": str(p)})
+            etree.SubElement(dist, "PRIVATE", attrib={"NAME": str(var)})
+            dpis = etree.SubElement(dist, "DPIS")
+            values = cpd.get_values()
+            if parents:
+                parent_cards = [len(cpd.state_names[p]) for p in parents]
+                for col, idx in enumerate(np.ndindex(*parent_cards)):
+                    dpi = etree.SubElement(
+                        dpis, "DPI", attrib={"INDEXES": " ".join(map(str, idx))}
+                    )
+                    dpi.text = " ".join(repr(float(v)) for v in values[:, col])
+            else:
+                etree.SubElement(dpis, "DPI").text = " ".join(
+                    repr(float(v)) for v in values[:, 0]
+                )
+
     def __str__(self):
         string = etree.tostring(self.network, encoding=self.encoding)
         if self.prettyprint:
@@ -183,6 +257,10 @@ class XBNWriter:
         return string.decode(self.encoding)
 
     def write_xbn(self, filename):
+        self.write_file(filename)
+
+    def write(self, filename):
+        """Reference-name alias for write_file."""
         self.write_file(filename)
 
     def write_file(self, filename):

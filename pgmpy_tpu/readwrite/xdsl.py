@@ -52,6 +52,9 @@ class XDSLReader:
     def get_parents(self):
         return dict(self.variable_parents)
 
+    def get_values(self):
+        return dict(self.tables)
+
     def get_edges(self):
         return [
             [parent, child]
@@ -90,6 +93,16 @@ class XDSLReader:
 
 
 class XDSLWriter:
+    def get_variables(self):
+        return sorted(map(str, self.model.nodes()), key=str)
+
+    def get_cpds(self):
+        import numpy as np
+
+        return {
+            str(v): np.asarray(self.model.get_cpds(v).get_values())
+            for v in self.model.nodes()
+        }
     def __init__(self, model, network_id="network", encoding="utf-8", prettyprint=True):
         model.check_model()
         self.model = model
@@ -128,6 +141,10 @@ class XDSLWriter:
         return string.decode(self.encoding)
 
     def write_xdsl(self, filename):
+        self.write_file(filename)
+
+    def write(self, filename):
+        """Reference-name alias for write_file."""
         self.write_file(filename)
 
     def write_file(self, filename):

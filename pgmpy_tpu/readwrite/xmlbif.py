@@ -108,6 +108,38 @@ class XMLBIFReader:
 
 
 class XMLBIFWriter:
+    def get_variables(self):
+        return sorted(map(str, self.model.nodes()), key=str)
+
+    def get_states(self):
+        return {
+            str(v): [str(s) for s in self.model.get_cpds(v).state_names[v]]
+            for v in self.model.nodes()
+        }
+
+    def get_properties(self):
+        return {
+            str(v): [
+                f"{k} = {val}" for k, val in sorted(self.model.nodes[v].items())
+                if val is not None
+            ]
+            for v in self.model.nodes()
+        }
+
+    def get_values(self):
+        import numpy as np
+
+        return {
+            str(v): np.asarray(self.model.get_cpds(v).get_values())
+            for v in self.model.nodes()
+        }
+
+    def get_definition(self):
+        """{variable: [given parents]} (ref XMLBIF.py writer sections)."""
+        return {
+            str(v): [str(p) for p in self.model.get_cpds(v).variables[1:]]
+            for v in self.model.nodes()
+        }
     def __init__(self, model, encoding="utf-8", prettyprint=True):
         model.check_model()
         self.model = model
@@ -147,6 +179,10 @@ class XMLBIFWriter:
         return string.decode(self.encoding)
 
     def write_xmlbif(self, filename):
+        self.write_file(filename)
+
+    def write(self, filename):
+        """Reference-name alias for write_file."""
         self.write_file(filename)
 
     def write_file(self, filename):

@@ -31,8 +31,10 @@ class CompiledAncestralSampler:
         model.check_model()
         self.model = model
         self.variables = list(nx.topological_sort(model))
+        self.topological_order = self.variables  # reference-name alias
         self.var_index = {v: i for i, v in enumerate(self.variables)}
         self.cards = [model.get_cardinality(v) for v in self.variables]
+        self.cardinality = dict(zip(self.variables, self.cards))
         self.state_names = {
             v: model.get_cpds(v).state_names[v] for v in self.variables
         }
@@ -62,6 +64,63 @@ class CompiledAncestralSampler:
             self._forward_partial, static_argnums=(1,)
         )
         self._lw_jit = jax.jit(self._likelihood_weighted, static_argnums=(1, 2))
+
+    # ------------------------------------------------------------------ #
+    # reference BayesianModelInference surface (ref sampling/base.py:38-160):
+    # host-side CPD slicing tables used by external callers; the compiled
+    # sampler itself never needs them.
+    # ------------------------------------------------------------------ #
+    def pre_compute_reduce(self, variable):
+        """{parent-state tuple (reversed evidence order): reduced values}."""
+        import itertools
+
+        cpd = self.model.get_cpds(variable)
+        evid = cpd.variables[:0:-1]
+        vals = np.asarray(cpd.values, dtype=np.float64)
+        cached = {}
+        for sc in itertools.product(*[range(self.cardinality[v]) for v in evid]):
+            index = [slice(None)] * vals.ndim
+            for v, s in zip(evid, sc):
+                index[cpd.variables.index(v)] = s
+            cached[sc] = vals[tuple(index)]
+        return cached
+
+    def pre_compute_reduce_maps(self, variable, evidence=None,
+                                state_combinations=None):
+        """(state-combination -> weight index, weight index -> weight array)
+        with non-``evidence`` parents marginalized out."""
+        import itertools
+
+        cpd = self.model.get_cpds(variable)
+        if evidence is None:
+            evidence = [
+                v for v in cpd.variables[1:] if v not in self.model.latents
+            ]
+        if state_combinations is None:
+            state_combinations = [
+                tuple(sc)
+                for sc in itertools.product(
+                    *[range(self.cardinality[v]) for v in evidence]
+                )
+            ]
+        vals = np.asarray(cpd.values, dtype=np.float64)
+        reduce_index = [cpd.variables.index(v) for v in evidence]
+        rows = []
+        for sc in state_combinations:
+            index = [slice(None)] * vals.ndim
+            for ax, s in zip(reduce_index, sc):
+                index[ax] = s
+            reduced = vals[tuple(index)]
+            # marginalize every remaining non-child axis
+            marg = reduced.reshape(reduced.shape[0], -1).sum(axis=1)
+            rows.append(marg / marg.sum())
+        weights_list = np.stack(rows)
+        unique_weights, weights_indices = np.unique(
+            weights_list, axis=0, return_inverse=True
+        )
+        state_to_index = dict(zip(state_combinations, weights_indices))
+        index_to_weight = dict(enumerate(unique_weights))
+        return state_to_index, index_to_weight
 
     # ------------------------------------------------------------------ #
     def _parent_flat(self, columns, parent_idx, strides):

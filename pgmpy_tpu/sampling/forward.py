@@ -58,6 +58,16 @@ class BayesianModelSampling:
             codes[:, j] = partial_samples[col].map(names).fillna(-1).astype(np.int32)
         return codes
 
+    def pre_compute_reduce(self, variable):
+        """Reference BayesianModelInference surface (ref sampling/base.py:38)."""
+        return self.sampler.pre_compute_reduce(variable)
+
+    def pre_compute_reduce_maps(self, variable, evidence=None,
+                                state_combinations=None):
+        return self.sampler.pre_compute_reduce_maps(
+            variable, evidence=evidence, state_combinations=state_combinations
+        )
+
     def forward_sample(
         self,
         size=1,

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from pgmpy_tpu.config import config
 from pgmpy_tpu.models.discrete_bn import DiscreteBayesianNetwork
+from pgmpy_tpu.models.markov_chain import MarkovChain
 from pgmpy_tpu.models.markov_network import DiscreteMarkovNetwork
 
 
@@ -96,11 +97,15 @@ class CompiledGibbs:
         return trajectory
 
 
-class GibbsSampling:
-    """API parity with the reference GibbsSampling (a MarkovChain-flavored
-    sampler), plus multi-chain throughput via ``sample_chains``."""
+class GibbsSampling(MarkovChain):
+    """API parity with the reference GibbsSampling (which subclasses
+    MarkovChain — sample() here is the compiled Markov-blanket kernel, but
+    the chain surface (add_variable/add_transition_model/is_stationarity/
+    prob_from_sample) is inherited), plus multi-chain throughput via
+    ``sample_chains``."""
 
     def __init__(self, model=None):
+        self.state = None
         self.transition_models = {}
         if isinstance(model, DiscreteBayesianNetwork):
             model.check_model()
@@ -122,6 +127,7 @@ class GibbsSampling:
                 f"model must be a DiscreteBayesianNetwork or DiscreteMarkovNetwork. Got {type(model)}"
             )
         self.cardinalities = {v: int(cards[v]) for v in self.variables}
+        self.transition_models = {v: {} for v in self.variables}
         self._compiled = CompiledGibbs(factors, self.variables, cards, state_names)
         self.state_names = state_names
 
