@@ -68,52 +68,59 @@ def structure_score(model, data, scoring_method="bic-d", **kwargs):
 
 
 def implied_cis(model, data, ci_test, show_progress=True):
-    """Test every local independence implied by the model structure.
+    """One CI test per non-adjacent pair (u, v), conditioned on a minimal
+    d-separator, as a DataFrame with columns [u, v, cond_vars, p-value]
+    (ref metrics.py:310-375)."""
+    from itertools import combinations
 
-    Returns a DataFrame with (u, v, cond_set, p_value)."""
     from pgmpy_tpu.estimators.citests import get_callable_ci_test
 
     test_fn = get_callable_ci_test(ci_test)
-    results = []
-    for u, v, cond in _implied_ci_triples(model):
-        out = test_fn(u, v, list(cond), data, boolean=False)
-        p_value = out[1]
-        results.append({"u": u, "v": v, "cond_vars": cond, "p_value": p_value})
-    return pd.DataFrame(results)
-
-
-def _implied_ci_triples(model):
-    """(u, v, markov-blanket conditioning set) for each non-adjacent pair
-    implied independent by the structure (u ⟂ v | parents(v) etc.)."""
-    triples = []
-    for u in model.nodes():
-        non_descendants = (
-            set(model.nodes()) - {u} - set(_descendants(model, u))
-        )
-        parents = set(model.get_parents(u))
-        for v in sorted(non_descendants - parents, key=str):
-            triples.append((u, v, tuple(sorted(parents, key=str))))
-    return triples
-
-
-def _descendants(model, node):
-    import networkx as nx
-
-    return nx.descendants(model, node)
+    rows = []
+    for u, v in combinations(sorted(model.nodes(), key=str), 2):
+        if model.has_edge(u, v) or model.has_edge(v, u):
+            continue
+        Z = model.minimal_dseparator(u, v)
+        if Z is None:
+            continue
+        Z = sorted(Z, key=str)
+        out = test_fn(u, v, Z, data, boolean=False)
+        rows.append([u, v, Z, out[1]])
+    return pd.DataFrame(rows, columns=["u", "v", "cond_vars", "p-value"])
 
 
 def fisher_c(model, data, ci_test, compute_rmsea=False, show_progress=True):
-    """Fisher's C global-fit statistic over the implied CIs."""
-    cis = implied_cis(model, data, ci_test, show_progress=show_progress)
-    p_values = np.clip(cis["p_value"].to_numpy(dtype=np.float64), 1e-300, 1.0)
+    """Fisher's C global-fit p-value over the per-pair CIs conditioned on
+    the union of the pair's parent sets (ref metrics.py:379-466).  Returns
+    a float p-value, or (p_value, rmsea) when ``compute_rmsea``."""
+    from itertools import combinations
+
+    from pgmpy_tpu.estimators.citests import get_callable_ci_test
+
+    if model.latents:
+        raise ValueError(
+            "This test can not be performed on models with latent variables."
+        )
+    test_fn = get_callable_ci_test(ci_test)
+    p_values = []
+    for u, v in combinations(sorted(model.nodes(), key=str), 2):
+        if model.has_edge(u, v) or model.has_edge(v, u):
+            continue
+        Z = set(model.predecessors(u)) | set(model.predecessors(v))
+        out = test_fn(u, v, sorted(Z, key=str), data, boolean=False)
+        p_values.append(out[1])
+    p_values = np.clip(np.asarray(p_values, dtype=np.float64), 1e-6, None)
     C = -2 * np.log(p_values).sum()
-    dof = 2 * len(p_values)
-    p_value = float(stats.chi2.sf(C, dof)) if dof else 1.0
+    p_value = float(1 - stats.chi2.cdf(C, df=2 * len(p_values)))
     if compute_rmsea:
-        n = data.shape[0]
-        rmsea = np.sqrt(max((C - dof), 0) / (dof * (n - 1))) if dof else 0.0
-        return {"C": float(C), "dof": dof, "p_value": p_value, "rmsea": float(rmsea)}
-    return {"C": float(C), "dof": dof, "p_value": p_value}
+        rmsea = np.nan
+        if len(data) != 1 and len(p_values) != 0:
+            rmsea = np.sqrt(
+                max((C - 2 * len(p_values))
+                    / (2 * len(p_values) * (len(data) - 1)), 0)
+            )
+        return (p_value, float(rmsea))
+    return p_value
 
 
 def SHD(true_model, est_model):

@@ -183,7 +183,8 @@ class TestMetrics:
         )
         df = model.simulate(n_samples=4000, seed=3, show_progress=False)
         out = fisher_c(model, df, ci_test="chi_square", show_progress=False)
-        assert out["p_value"] > 0.01  # the true model should fit
+        assert out > 0.01  # the true model should fit (bare p-value, ref
+        # metrics.py:466)
 
 
 class TestApproxInference:
