@@ -648,10 +648,24 @@ class VariableElimination(Inference):
         show_progress=False,
     ):
         """max_{other vars} P(...); scalar when ``variables`` covers the
-        remaining factor."""
+        remaining factor.
+
+        Like the reference (``ExactInference.py:459-527``) the model is
+        pruned to the query/evidence first — with a max reduction, barren
+        CPDs do NOT collapse to 1, so pruning changes (and defines) the
+        answer."""
         if not variables:
             variables = []
-        final_distribution = self._variable_elimination(
+        common_vars = set(evidence if evidence is not None else []) & set(variables)
+        if common_vars:
+            raise ValueError(
+                f"Can't have the same variables in both `variables` and `evidence`. Found in both: {common_vars}"
+            )
+        target = self
+        if isinstance(self.model, DiscreteBayesianNetwork):
+            model_reduced, evidence = self._prune_bayesian_model(variables, evidence)
+            target = VariableElimination(model_reduced)
+        final_distribution = target._variable_elimination(
             variables,
             "maximize",
             evidence=evidence,

@@ -239,20 +239,32 @@ class TestVEAgainstEnumeration:
         assert set(got.keys()) == set(STUDENT_VARS) - {"grade"}
 
     def test_max_marginal(self):
-        variables, joint = brute_force_joint(self.model)
-        max_marg = joint.max(axis=tuple(
-            i for i, v in enumerate(variables) if v != "grade"
-        ))
-        # the returned factor is normalized (reference semantics)
+        # reference semantics: the model is pruned to the ancestral graph of
+        # the query BEFORE max-elimination, so the barren letter/SAT CPDs are
+        # dropped (summed to 1), not max-reduced.  Oracle: enumerate the
+        # pruned joint P(diff, intel, grade) directly.
+        pruned = np.einsum(
+            "d,i,gid->dig",
+            np.array([0.6, 0.4]),
+            np.array([0.7, 0.3]),
+            np.array(
+                [[0.3, 0.05, 0.9, 0.5], [0.4, 0.25, 0.08, 0.3], [0.3, 0.7, 0.02, 0.2]]
+            ).reshape(3, 2, 2),
+        )
+        max_marg = pruned.max(axis=(0, 1))  # max over diff, intel
+        expected = max_marg.max() / max_marg.sum()
         assert self.infer.max_marginal(
             ["grade"], show_progress=False
-        ) == pytest.approx(max_marg.max() / max_marg.sum(), abs=1e-6)
+        ) == pytest.approx(expected, abs=1e-6)
+        # golden from reference pgmpy v1.0.0 on this exact model
+        assert expected == pytest.approx(0.3726235741444867, abs=1e-12)
 
     def test_max_marginal_with_evidence(self):
         got = self.infer.max_marginal(
             ["grade"], evidence={"diff": 0}, show_progress=False
         )
-        assert 0.0 < got <= 1.0
+        # golden from reference pgmpy v1.0.0
+        assert got == pytest.approx(0.3684210526315789, rel=1e-5)
 
     def test_induced_width(self):
         width = self.infer.induced_width(

@@ -143,14 +143,16 @@ class TestVEStudent:
         assert float(np.asarray(res.values)[1]) == pytest.approx(0.69230769, rel=1e-4)
 
     def test_max_marginal(self):
+        # reference semantics (ExactInference.py:459-527): PRUNE to the
+        # ancestral graph of the query first (here {diff, intel, grade} —
+        # letter/SAT are barren and must NOT be max-reduced), then
+        # max-eliminate.  Golden from reference pgmpy v1.0.0.
         val = self.infer.max_marginal(["grade"], show_progress=False)
-        joint = factor_product(*[cpd.to_factor() for cpd in self.model.get_cpds()])
-        # reference semantics: max of the (normalized) max-marginal
-        mm = joint.maximize(
-            [v for v in joint.variables if v != "grade"], inplace=False
-        ).normalize(inplace=False)
-        expected = float(np.max(np.asarray(mm.values)))
-        assert val == pytest.approx(expected, rel=1e-5)
+        assert val == pytest.approx(0.3726235741444867, rel=1e-5)
+        val = self.infer.max_marginal(
+            ["grade"], evidence={"diff": 0}, show_progress=False
+        )
+        assert val == pytest.approx(0.3684210526315789, rel=1e-5)
 
     def test_induced_width(self):
         width = self.infer.induced_width(["diff", "intel", "grade", "letter", "SAT"])
