@@ -16,16 +16,20 @@ import pandas as pd
 import jax
 import jax.numpy as jnp
 
-from pgmpy_tpu.base.dag import DAG
 from pgmpy_tpu.factors.hybrid import FunctionalCPD
+from pgmpy_tpu.models.discrete_bn import DiscreteBayesianNetwork
 
 
-class FunctionalBayesianNetwork(DAG):
-    def __init__(self, ebunch=None, latents=[]):
-        super().__init__(ebunch, latents)
-        self.cpds = []
+class FunctionalBayesianNetwork(DiscreteBayesianNetwork):
+    # Inherits the DiscreteBayesianNetwork surface (predict, to_junction_tree,
+    # save/load, ...) exactly as the reference does
+    # (FunctionalBayesianNetwork.py:17); methods that require tabular CPDs
+    # fail on functional CPDs there too.
+    def __init__(self, ebunch=None, latents=[], lavaan_str=None, dagitty_str=None):
+        super().__init__(ebunch, latents, lavaan_str, dagitty_str)
 
     def add_cpds(self, *cpds):
+        self._bump_version()
         for cpd in cpds:
             if not isinstance(cpd, FunctionalCPD):
                 raise ValueError(f"Only FunctionalCPD can be added. Got: {type(cpd)}")

@@ -248,6 +248,36 @@ class SEMAlg:
         F = jnp.asarray(self.F)
         return F @ full @ F.T
 
+    def set_params(self, B, zeta):
+        """Fix the model's parameter matrices (reference ``SEM.py:805``)."""
+        self.B_fixed = np.asarray(B)
+        self.S_fixed = np.asarray(zeta)
+
+    def generate_samples(self, n_samples=100, seed=None):
+        """Draw samples of the observed variables from the implied Gaussian.
+
+        Requires ``set_params`` (or fixed parameters at construction); the
+        implied covariance is F (I-B)^-1 S (I-B)^-T F^T.  Parity: reference
+        ``models/SEM.py:820-858``.
+        """
+        import pandas as pd
+
+        if self.B_fixed is None or self.S_fixed is None:
+            raise ValueError("Parameters for the model has not been specified.")
+        B = np.nan_to_num(np.asarray(self.B_fixed, dtype=float))
+        S = np.nan_to_num(np.asarray(self.S_fixed, dtype=float))
+        implied_cov = np.asarray(self.implied_covariance(B, S))
+        if not np.all(np.linalg.eigvalsh((implied_cov + implied_cov.T) / 2) > 0):
+            raise ValueError(
+                "The implied covariance matrix is not positive definite."
+                + "Please check model parameters."
+            )
+        rng = np.random.default_rng(seed)
+        samples = rng.multivariate_normal(
+            mean=np.zeros(implied_cov.shape[0]), cov=implied_cov, size=n_samples
+        )
+        return pd.DataFrame(samples, columns=list(self.observed))
+
     def to_SEMGraph(self):
         ebunch = []
         n = len(self.variables)

@@ -136,6 +136,26 @@ class BIFReader:
                 ).reshape(card, 1)
                 self.tables[child] = values
 
+    def get_variable_grammar(self):
+        """The variable-block grammar.  The reference builds a pyparsing
+        expression (BIF.py:107); this parser is regex-based, so the compiled
+        variable pattern is the grammar object."""
+        return _VARIABLE_RE
+
+    def get_probability_grammar(self):
+        """The probability-block grammar (regex analog of BIF.py:136)."""
+        return _PROB_RE
+
+    def variable_block(self):
+        """Yield the raw text of each ``variable`` block (BIF.py:165)."""
+        for match in _VARIABLE_RE.finditer(self.network):
+            yield match.group(0)
+
+    def probability_block(self):
+        """Yield the raw text of each ``probability`` block (BIF.py:171)."""
+        for match in _PROB_RE.finditer(self.network):
+            yield match.group(0)
+
     def get_variables(self):
         return list(self.variable_names)
 
@@ -244,25 +264,65 @@ class BIFWriter(_WriterIntrospection):
     def __str__(self):
         return self.get_string()
 
+    def BIF_templates(self):
+        """String templates describing the emitted BIF dialect, in the same
+        6-tuple contract as the reference (BIF.py:458): network, variable,
+        property, flat-table probability, conditional probability block,
+        conditional probability row."""
+        from string import Template
+
+        network_template = Template("network $name {\n}\n")
+        variable_template = Template(
+            "variable $name {\n"
+            "  type discrete [ $no_of_states ] { $states };\n"
+            "$properties}\n"
+        )
+        property_template = Template("  property $prop ;\n")
+        probability_template = Template(
+            "probability ( $variable_$separator_$parents ) {\n  table $values;\n}\n"
+        )
+        conditional_probability_template_total = Template(
+            "probability ( $variable_$separator_$parents ) {\n$values\n}\n"
+        )
+        conditional_probability_template = Template("  ( $state ) $values;")
+        return (
+            network_template,
+            variable_template,
+            property_template,
+            probability_template,
+            conditional_probability_template_total,
+            conditional_probability_template,
+        )
+
     def get_string(self):
+        (
+            network_template,
+            variable_template,
+            property_template,
+            probability_template,
+            conditional_total_template,
+            conditional_row_template,
+        ) = self.BIF_templates()
         model = self.model
         name = getattr(model, "name", None) or "unknown"
-        out = [f"network {name} {{\n}}\n"]
+        out = [network_template.substitute(name=name)]
         for var in model.nodes():
             cpd = model.get_cpds(var)
             states = ", ".join(str(s) for s in cpd.state_names[var])
             # node attributes persist as `property name = value ;` lines
             # (ref BIF.py:470,514-519,625-651)
             props = "".join(
-                f"  property {prop} = {val} ;\n"
+                property_template.substitute(prop=f"{prop} = {val}")
                 for prop, val in sorted(model.nodes[var].items())
                 if val is not None
             )
             out.append(
-                f"variable {var} {{\n"
-                f"  type discrete [ {cpd.variable_card} ] {{ {states} }};\n"
-                f"{props}"
-                f"}}\n"
+                variable_template.substitute(
+                    name=var,
+                    no_of_states=cpd.variable_card,
+                    states=states,
+                    properties=props,
+                )
             )
         for var in model.nodes():
             cpd = model.get_cpds(var)
@@ -270,19 +330,33 @@ class BIFWriter(_WriterIntrospection):
             values = cpd.get_values()
             if not parents:
                 table = ", ".join(repr(float(v)) for v in values[:, 0])
-                out.append(f"probability ( {var} ) {{\n  table {table};\n}}\n")
+                out.append(
+                    probability_template.substitute(
+                        variable_=var, separator_="", parents="", values=table
+                    )
+                )
             else:
                 parent_cards = [len(cpd.state_names[p]) for p in parents]
                 header = ", ".join(str(p) for p in parents)
-                lines = [f"probability ( {var} | {header} ) {{"]
+                rows = []
                 for col, config in enumerate(np.ndindex(*parent_cards)):
                     config_names = ", ".join(
                         str(cpd.state_names[p][i]) for p, i in zip(parents, config)
                     )
                     vals = ", ".join(repr(float(v)) for v in values[:, col])
-                    lines.append(f"  ({config_names}) {vals};")
-                lines.append("}\n")
-                out.append("\n".join(lines))
+                    rows.append(
+                        conditional_row_template.substitute(
+                            state=config_names, values=vals
+                        )
+                    )
+                out.append(
+                    conditional_total_template.substitute(
+                        variable_=var,
+                        separator_=" | ",
+                        parents=header,
+                        values="\n".join(rows),
+                    )
+                )
         return "".join(out)
 
     def write_bif(self, filename):

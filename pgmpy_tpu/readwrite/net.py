@@ -67,6 +67,16 @@ class NETReader:
             self.variable_parents[child] = parents
             self.tables[child] = values
 
+    def get_variable_grammar(self):
+        """The node-block grammar.  The reference builds pyparsing
+        expressions (NET.py:413); here the compiled node regex is the
+        grammar object."""
+        return _NODE_RE
+
+    def get_probability_grammar(self):
+        """The potential-block grammar (regex analog of NET.py:446)."""
+        return _POTENTIAL_RE
+
     def get_variables(self):
         return list(self.variable_names)
 
@@ -160,30 +170,53 @@ class NETWriter:
             for v in self.model.nodes()
         }
 
+    def NET_templates(self):
+        """String templates for the emitted NET dialect, in the reference's
+        4-tuple contract (NET.py:74): network, node, potential, property."""
+        from string import Template
+
+        network_template = Template("net\n{\n}\n")
+        node_template = Template("node $name\n{\n  states = ($states);\n$properties}\n")
+        potential_template = Template(
+            "potential ( $variable_$separator_$parents )\n{\n  data = $values;\n}\n"
+        )
+        property_template = Template("  $prop;\n")
+        return (network_template, node_template, potential_template, property_template)
+
+    def net_cpd(self, var_name):
+        """The CPD of ``var_name`` in NET ``data`` syntax: one level of
+        parens per parent configuration, child state fastest (NET.py:133)."""
+        cpd = self.model.get_cpds(var_name)
+        values = cpd.get_values()
+        if len(cpd.variables) > 1:
+            groups = " ".join(
+                "(" + " ".join(repr(float(v)) for v in values[:, c]) + ")"
+                for c in range(values.shape[1])
+            )
+            return f"({groups})"
+        return "(" + " ".join(repr(float(v)) for v in values[:, 0]) + ")"
+
     def get_string(self):
+        network_template, node_template, potential_template, _ = self.NET_templates()
         model = self.model
-        out = ["net\n{\n}\n"]
+        out = [network_template.substitute()]
         for var in model.nodes():
             cpd = model.get_cpds(var)
             states = " ".join(f'"{s}"' for s in cpd.state_names[var])
-            out.append(f"node {var}\n{{\n  states = ({states});\n}}\n")
+            out.append(
+                node_template.substitute(name=var, states=states, properties="")
+            )
         for var in model.nodes():
             cpd = model.get_cpds(var)
             parents = cpd.variables[1:]
-            values = cpd.get_values()
-            flat = values.T.ravel()
-            if parents:
-                header = f"potential ( {var} | {' '.join(map(str, parents))} )"
-            else:
-                header = f"potential ( {var} )"
-            # nest one level of parens per parent configuration
-            n_cols = values.shape[1]
-            groups = " ".join(
-                "(" + " ".join(repr(float(v)) for v in values[:, c]) + ")"
-                for c in range(n_cols)
+            out.append(
+                potential_template.substitute(
+                    variable_=var,
+                    separator_=" | " if parents else "",
+                    parents=" ".join(map(str, parents)),
+                    values=self.net_cpd(var),
+                )
             )
-            data = f"({groups})" if parents else f"({' '.join(repr(float(v)) for v in values[:, 0])})"
-            out.append(f"{header}\n{{\n  data = {data};\n}}\n")
         return "".join(out)
 
     def __str__(self):

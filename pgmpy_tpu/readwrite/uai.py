@@ -20,7 +20,8 @@ class UAIReader:
         else:
             raise ValueError("Must specify either path or string")
 
-        tokens = self.network.split()
+        self._token_grammar = re.compile(r"\S+")
+        tokens = self._token_grammar.findall(self.network)
         pos = 0
         self.network_type = tokens[pos]; pos += 1
         n_vars = int(tokens[pos]); pos += 1
@@ -42,6 +43,12 @@ class UAIReader:
         self.variables = [f"var_{i}" for i in range(n_vars)]
         self.edges = self.get_edges()
         self.tables = self.get_tables()
+
+    def get_grammar(self):
+        """The UAI token grammar.  The reference builds a pyparsing
+        expression (UAI.py:63); the format is a flat whitespace-separated
+        token stream here, so the token regex is the grammar object."""
+        return self._token_grammar
 
     def get_variables(self):
         return list(self.variables)

@@ -5,7 +5,6 @@ Parity: ``/root/reference/pgmpy/readwrite/XMLBeliefNetwork.py``.  Each
 configuration (CONDSET order, indexes explicit).
 """
 
-from xml.dom import minidom
 from xml.etree import ElementTree as etree
 
 import numpy as np
@@ -250,10 +249,16 @@ class XBNWriter:
                     repr(float(v)) for v in values[:, 0]
                 )
 
+    def indent(self, elem, level=0):
+        """In-place pretty-print formatter (reference XBN writer surface);
+        delegates to the stdlib ElementTree indenter."""
+        etree.indent(elem, space="  ", level=level)
+        return elem
+
     def __str__(self):
-        string = etree.tostring(self.network, encoding=self.encoding)
         if self.prettyprint:
-            return minidom.parseString(string).toprettyxml(indent="  ")
+            self.indent(self.network)
+        string = etree.tostring(self.network, encoding=self.encoding)
         return string.decode(self.encoding)
 
     def write_xbn(self, filename):

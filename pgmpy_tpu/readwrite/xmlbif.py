@@ -5,7 +5,6 @@ probabilities child-state-fastest per parent configuration (Fortran order
 into the (card, n_configs) CPD matrix).
 """
 
-from xml.dom import minidom
 from xml.etree import ElementTree as etree
 
 import numpy as np
@@ -171,11 +170,16 @@ class XMLBIFWriter:
                 repr(float(v)) for v in values.ravel(order="F")
             )
 
+    def indent(self, elem, level=0):
+        """In-place pretty-print formatter (reference XMLBIF.py:315);
+        delegates to the stdlib ElementTree indenter."""
+        etree.indent(elem, space="  ", level=level)
+        return elem
+
     def __str__(self):
-        string = etree.tostring(self.xml, encoding=self.encoding)
         if self.prettyprint:
-            string = minidom.parseString(string).toprettyxml(indent="  ")
-            return string
+            self.indent(self.xml)
+        string = etree.tostring(self.xml, encoding=self.encoding)
         return string.decode(self.encoding)
 
     def write_xmlbif(self, filename):

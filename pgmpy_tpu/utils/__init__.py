@@ -4,9 +4,17 @@ from pgmpy_tpu.utils.utils import (
     get_dataset_type,
     preprocess_data,
     discretize,
+    llm_pairwise_orient,
+    manual_pairwise_orient,
 )
 from pgmpy_tpu.utils.optimizer import optimize, pinverse
-from pgmpy_tpu.utils.mathext import cartesian, sample_discrete, sample_discrete_maps, powerset
+from pgmpy_tpu.utils.mathext import (
+    State,
+    cartesian,
+    sample_discrete,
+    sample_discrete_maps,
+    powerset,
+)
 from pgmpy_tpu.utils._safe_import import _safe_import, _check_soft_dependencies
 from pgmpy_tpu.utils.profiling import KernelTimer, trace
 
@@ -16,6 +24,9 @@ __all__ = [
     "get_dataset_type",
     "preprocess_data",
     "discretize",
+    "llm_pairwise_orient",
+    "manual_pairwise_orient",
+    "State",
     "optimize",
     "pinverse",
     "cartesian",

@@ -5,12 +5,17 @@ sampling helpers exist for API compatibility; the compiled samplers in
 ``pgmpy_tpu.sampling.core`` are the performance path.
 """
 
+from collections import namedtuple
 from itertools import chain, combinations
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# (variable, state) pair used in evidence lists, mirroring the reference's
+# ``State`` namedtuple (utils/mathext.py:11).
+State = namedtuple("State", ["var", "state"])
 
 
 def cartesian(arrays, out=None):

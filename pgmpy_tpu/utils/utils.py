@@ -124,3 +124,22 @@ def llm_pairwise_orient(*args, **kwargs):
         "LLM-based edge orientation requires network access (litellm); "
         "provide an `orient_fn` callback to ExpertInLoop instead."
     )
+
+
+def manual_pairwise_orient(x, y):
+    """Interactively ask the user for the direction between ``x`` and ``y``.
+
+    Returns ``(source, target)`` or ``None`` for "no edge".  Parity:
+    reference ``utils/utils.py:376``.
+    """
+    user_input = input(
+        f"Select the edge direction between"
+        f" {x} and {y}. \n 1. {x} -> {y} \n 2. {x} <- {y} \n"
+        "3. No edge \n Please enter 1, 2 or 3: "
+    )
+    if user_input == "1":
+        return (x, y)
+    elif user_input == "2":
+        return (y, x)
+    elif user_input == "3":
+        return None

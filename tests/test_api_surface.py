@@ -207,3 +207,123 @@ class TestSmallSurface:
         assert "<Variable>" in w.get_variables()
         assert "InitialStateBelief" in w.add_initial_belief()
         assert w.add_obs_function() == ""
+
+
+class TestRound2SurfaceAdditions:
+    """Residual reference-surface items closed in the round-2 audit."""
+
+    def test_state_namedtuple(self):
+        from pgmpy_tpu.utils import State
+
+        s = State("a", 1)
+        assert s.var == "a" and s.state == 1
+        assert tuple(s) == ("a", 1)
+
+    def test_manual_pairwise_orient(self, monkeypatch):
+        from pgmpy_tpu.utils import manual_pairwise_orient
+
+        answers = iter(["1", "2", "3"])
+        monkeypatch.setattr("builtins.input", lambda *_: next(answers))
+        assert manual_pairwise_orient("x", "y") == ("x", "y")
+        assert manual_pairwise_orient("x", "y") == ("y", "x")
+        assert manual_pairwise_orient("x", "y") is None
+
+    def test_llm_pairwise_orient_raises(self):
+        from pgmpy_tpu.utils import llm_pairwise_orient
+
+        with pytest.raises(NotImplementedError):
+            llm_pairwise_orient("x", "y")
+
+    def test_functional_bn_inherits_discrete_surface(self):
+        from pgmpy_tpu.models import (
+            DiscreteBayesianNetwork,
+            FunctionalBayesianNetwork,
+        )
+
+        fbn = FunctionalBayesianNetwork([("a", "b")])
+        assert isinstance(fbn, DiscreteBayesianNetwork)
+        for attr in (
+            "fit_update", "get_cardinality", "predict", "save", "load",
+            "states", "to_junction_tree", "to_markov_model", "is_imap",
+        ):
+            assert hasattr(fbn, attr)
+
+    def test_semalg_set_params_generate_samples(self):
+        from pgmpy_tpu.models import SEM
+
+        # x -> y with coefficient 0.8, unit error variances
+        sem = SEM.from_graph(ebunch=[("x", "y", 0.8)], latents=[])
+        alg = sem.to_lisrel()
+        n = len(alg.variables)
+        B = np.zeros((n, n))
+        ix, iy = alg.variables.index("x"), alg.variables.index("y")
+        B[iy, ix] = 0.8
+        S = np.eye(n)
+        alg.set_params(B, S)
+        df = alg.generate_samples(n_samples=20000, seed=7)
+        assert set(df.columns) == {"x", "y"}
+        # implied cov: var(x)=1, cov(x,y)=0.8, var(y)=0.8^2+1
+        cov = np.cov(df["x"], df["y"])
+        np.testing.assert_allclose(cov[0, 0], 1.0, atol=0.05)
+        np.testing.assert_allclose(cov[0, 1], 0.8, atol=0.05)
+        np.testing.assert_allclose(cov[1, 1], 1.64, atol=0.08)
+
+    def test_semalg_generate_samples_requires_params(self):
+        from pgmpy_tpu.models.sem import SEMAlg
+
+        alg = SEMAlg(
+            ["x"], np.zeros((1, 1)), None, np.eye(1), None, ["x"]
+        )
+        with pytest.raises(ValueError, match="not been specified"):
+            alg.generate_samples()
+
+    def test_bif_blocks_and_templates(self):
+        from pgmpy_tpu.readwrite import BIFReader, BIFWriter
+
+        w = BIFWriter(_model())
+        text = w.get_string()
+        templates = w.BIF_templates()
+        assert len(templates) == 6
+        r = BIFReader(string=text)
+        vblocks = list(r.variable_block())
+        pblocks = list(r.probability_block())
+        assert len(vblocks) == len(r.get_variables())
+        assert len(pblocks) == len(r.get_variables())
+        assert all(b.startswith("variable") for b in vblocks)
+        assert r.get_variable_grammar() is not None
+        assert r.get_probability_grammar() is not None
+
+    def test_net_templates_and_net_cpd(self):
+        from pgmpy_tpu.readwrite import NETReader, NETWriter
+
+        w = NETWriter(_model())
+        assert len(w.NET_templates()) == 4
+        data = w.net_cpd(_model().nodes().__iter__().__next__())
+        assert data.startswith("(") and data.endswith(")")
+        r = NETReader(string=w.get_string())
+        assert r.get_variable_grammar() is not None
+        assert r.get_probability_grammar() is not None
+
+    def test_uai_get_grammar(self):
+        from pgmpy_tpu.readwrite import UAIReader, UAIWriter
+
+        w = UAIWriter(_model())
+        r = UAIReader(string=w.get_string())
+        assert r.get_grammar().findall("a b  c") == ["a", "b", "c"]
+
+    def test_xml_indent_roundtrip(self):
+        from pgmpy_tpu.readwrite import (
+            XBNReader,
+            XBNWriter,
+            XMLBIFReader,
+            XMLBIFWriter,
+        )
+
+        m = _model()
+        xml_text = str(XMLBIFWriter(m, prettyprint=True))
+        assert "\n  " in xml_text  # actually indented
+        m2 = XMLBIFReader(string=xml_text).get_model()
+        assert set(m2.edges()) == set(m.edges())
+        xbn_text = str(XBNWriter(m, prettyprint=True))
+        m3 = XBNReader(string=xbn_text).get_model()
+        assert set(m3.edges()) == set(m.edges())
