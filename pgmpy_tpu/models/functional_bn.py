@@ -49,6 +49,7 @@ class FunctionalBayesianNetwork(DiscreteBayesianNetwork):
         return self.cpds
 
     def remove_cpds(self, *cpds):
+        self._bump_version()
         for cpd in cpds:
             if isinstance(cpd, (str, int)):
                 cpd = self.get_cpds(cpd)

@@ -233,6 +233,12 @@ class SEMAlg:
         self.S_mask = S_mask
         self.S_fixed = S_fixed
         self.observed = observed
+        # Parameter values assigned via set_params live in dedicated
+        # attributes so the NaN=free masks in B_fixed/S_fixed (used by
+        # SEMEstimator) are never clobbered (reference keeps these apart as
+        # B_fixed_mask/zeta_fixed_mask, ``models/SEM.py:752-820``).
+        self.B_set = None
+        self.S_set = None
         idx = {v: i for i, v in enumerate(variables)}
         self.F = np.zeros((len(observed), len(variables)))
         for i, v in enumerate(observed):
@@ -249,9 +255,13 @@ class SEMAlg:
         return F @ full @ F.T
 
     def set_params(self, B, zeta):
-        """Fix the model's parameter matrices (reference ``SEM.py:805``)."""
-        self.B_fixed = np.asarray(B)
-        self.S_fixed = np.asarray(zeta)
+        """Set the model's parameter values (reference ``SEM.py:805``).
+
+        Values go to ``B_set``/``S_set``; the ``B_fixed``/``S_fixed``
+        NaN=free masks consumed by SEMEstimator stay untouched.
+        """
+        self.B_set = np.asarray(B)
+        self.S_set = np.asarray(zeta)
 
     def generate_samples(self, n_samples=100, seed=None):
         """Draw samples of the observed variables from the implied Gaussian.
@@ -262,10 +272,21 @@ class SEMAlg:
         """
         import pandas as pd
 
-        if self.B_fixed is None or self.S_fixed is None:
-            raise ValueError("Parameters for the model has not been specified.")
-        B = np.nan_to_num(np.asarray(self.B_fixed, dtype=float))
-        S = np.nan_to_num(np.asarray(self.S_fixed, dtype=float))
+        if self.B_set is not None and self.S_set is not None:
+            B_vals = np.asarray(self.B_set, dtype=float)
+            S_vals = np.asarray(self.S_set, dtype=float)
+        else:
+            B_vals = np.asarray(self.B_fixed, dtype=float)
+            S_vals = np.asarray(self.S_fixed, dtype=float)
+            # A free (masked, still-NaN) parameter means the model was never
+            # given values: raise the reference's error instead of silently
+            # sampling a zero-coefficient model (ref SEM.py:825-827).
+            if np.any(np.asarray(self.B_mask, bool) & np.isnan(B_vals)) or np.any(
+                np.asarray(self.S_mask, bool) & np.isnan(S_vals)
+            ):
+                raise ValueError("Parameters for the model has not been specified.")
+        B = np.nan_to_num(B_vals)
+        S = np.nan_to_num(S_vals)
         implied_cov = np.asarray(self.implied_covariance(B, S))
         if not np.all(np.linalg.eigvalsh((implied_cov + implied_cov.T) / 2) > 0):
             raise ValueError(
@@ -281,11 +302,12 @@ class SEMAlg:
     def to_SEMGraph(self):
         ebunch = []
         n = len(self.variables)
+        B_vals = self.B_set if self.B_set is not None else self.B_fixed
         for i in range(n):
             for j in range(n):
                 if self.B_mask[i, j]:
                     ebunch.append(
-                        (self.variables[j], self.variables[i], self.B_fixed[i, j])
+                        (self.variables[j], self.variables[i], B_vals[i, j])
                     )
         latents = set(self.variables) - set(self.observed)
         return SEMGraph(ebunch=ebunch, latents=latents)

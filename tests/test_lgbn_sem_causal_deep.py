@@ -183,6 +183,31 @@ class TestSEMGraph:
         edges = set(sem.edges())
         assert ("eta", "y1") in edges and ("x", "eta") in edges
 
+    def test_set_params_keeps_fixed_masks_free(self):
+        # ADVICE r2: set_params must not clobber the NaN=free B_fixed/S_fixed
+        # masks SEMEstimator reads — fitting after set_params must still see
+        # free parameters.
+        g = SEMGraph(ebunch=[("x", "y")], err_var={"x": 1.0, "y": 0.25})
+        alg = g.to_lisrel()
+        names = list(alg.variables)
+        n = len(names)
+        B = np.zeros((n, n))
+        B[names.index("y"), names.index("x")] = 2.0
+        S = np.eye(n)
+        before_free = int(np.sum(np.asarray(alg.B_mask, bool) & np.isnan(alg.B_fixed)))
+        alg.set_params(B, S)
+        after_free = int(np.sum(np.asarray(alg.B_mask, bool) & np.isnan(alg.B_fixed)))
+        assert before_free == after_free and after_free > 0
+        # generate_samples uses the set values
+        df = alg.generate_samples(n_samples=4000, seed=0)
+        assert abs(np.cov(df["x"], df["y"])[0, 1] - 2.0) < 0.3
+
+    def test_generate_samples_unspecified_raises(self):
+        g = SEMGraph(ebunch=[("x", "y")], err_var={"x": 1.0, "y": 0.25})
+        alg = g.to_lisrel()
+        with pytest.raises(ValueError, match="not been specified"):
+            alg.generate_samples(n_samples=10)
+
 
 class TestCausalAdjustment:
     """Pearl's canonical 'games' — hand-known backdoor answers."""
