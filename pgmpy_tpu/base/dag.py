@@ -18,7 +18,7 @@ from pgmpy_tpu.independencies import Independencies
 
 
 class DAG(GraphRolesMixin, nx.DiGraph):
-    def __init__(self, ebunch=None, latents=[], lavaan_str=None, dagitty_str=None):
+    def __init__(self, ebunch=None, latents=[], lavaan_str=None, dagitty_str=None, roles=None):
         if lavaan_str is not None or dagitty_str is not None:
             from pgmpy_tpu.utils.parser import parse_dagitty, parse_lavaan
 
@@ -30,6 +30,12 @@ class DAG(GraphRolesMixin, nx.DiGraph):
         super().__init__(ebunch)
         self._init_building = False
         self.latents = set(latents)
+        # role annotations up front (ref DAG.py:156-172)
+        if roles is not None:
+            if not isinstance(roles, dict):
+                raise TypeError("Roles must be provided as a dictionary.")
+            for role, variables in roles.items():
+                self.with_role(role=role, variables=variables, inplace=True)
         cycles = []
         try:
             cycles = list(nx.find_cycle(self))
@@ -483,10 +489,30 @@ class DAG(GraphRolesMixin, nx.DiGraph):
         elif isinstance(edges, tuple) and len(edges) == 2 and not isinstance(edges[0], tuple):
             edges = [edges]
         strengths = {}
+        skipped = []
         for u, v in edges:
-            other_parents = [p for p in self.get_parents(v) if p != u]
+            parents_v = self.get_parents(v)
+            # edges touching latent variables can't be tested on observed
+            # data (ref DAG.py:1716-1726)
+            if (
+                u in self.latents
+                or v in self.latents
+                or any(p in self.latents for p in parents_v)
+            ):
+                skipped.append((u, v))
+                continue
+            other_parents = [p for p in parents_v if p != u]
             effect, _ = pillai_trace(u, v, other_parents, data, boolean=False)
             strengths[(u, v)] = effect
+            self.edges[(u, v)]["strength"] = effect
+        if skipped:
+            from pgmpy_tpu.config import logger
+
+            logger.warning(
+                f"Skipped computing strengths for edges involving latent "
+                f"variables: {skipped}. Use CausalInference class for "
+                f"advanced causal effect estimation."
+            )
         return strengths
 
     def validate(self, data, metrics=None, significance_level=0.05, **kwargs):
@@ -511,7 +537,7 @@ class DAG(GraphRolesMixin, nx.DiGraph):
             "bic": lambda m, d: structure_score(m, d, scoring_method="bic-d"),
             "fisher-c": lambda m, d: fisher_c(
                 m, d, ci_test="pillai", show_progress=False
-            )["p_value"],
+            ),
             "implied-cis": lambda m, d: implied_cis(
                 m, d, ci_test="pillai", show_progress=False
             ),

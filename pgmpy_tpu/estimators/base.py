@@ -90,9 +90,12 @@ class _CodedData:
         else:
             self.weights = None
 
-    def counts(self, variable, parents=(), weights=None):
+    def counts(self, variable, parents=(), weights=None, device=False):
         """(var_card, prod(parent_cards)) count matrix, device-computed.
-        Rows with a NaN in any involved column are dropped."""
+        Rows with a NaN in any involved column are dropped.  With
+        ``device=True`` the table stays a jnp array on device (so callers
+        like the CI-test statistic kernels can fuse follow-up math without
+        a host round-trip)."""
         cols = [self.var_index[variable]] + [self.var_index[p] for p in parents]
         cards = [self.cards[variable]] + [self.cards[p] for p in parents]
         sub = self.codes[:, jnp.asarray(cols)]
@@ -107,6 +110,8 @@ class _CodedData:
         w = jnp.where(valid, w, 0.0)
         total = int(np.prod(cards))
         table = _bincount_weighted(flat, w, total)
+        if device:
+            return table.reshape(cards[0], -1)
         return np.asarray(table).reshape(cards[0], -1)
 
     def multi_counts(self, specs, weights=None):

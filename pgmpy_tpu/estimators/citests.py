@@ -3,12 +3,25 @@
 Parity: ``/root/reference/pgmpy/estimators/CITests.py:14-834``.  Discrete
 tests build the full (X, Y, Z-config) contingency tensor with the device
 count kernel in ONE shot (no per-Z pandas groupby), then evaluate the
-power-divergence family vectorized over Z slices.  Continuous tests are
-residual-based (jnp lstsq).
+Cressie-Read power-divergence family in one float64 reduction vectorized
+over all Z slices (no per-slice Python/scipy loop).
+
+Continuous / mixed tests are residual-based.  ``pillai_trace`` implements
+the full mixed-data test of Ankan & Textor (AAAI 2024), matching reference
+``CITests.py:574-755``: boosted-tree predictions of X and Y from Z
+(classifier ``predict_proba`` for categoricals), one-hot residuals with the
+last column dropped, canonical correlations of the residual blocks, and the
+Muller-Peterson F approximation of Pillai's trace.  Categorical columns are
+integer-coded (never float-coerced) everywhere, so the tests work on the
+string-state DataFrames that ``model.simulate`` produces.
 """
 
 import numpy as np
+import pandas as pd
 from scipy import stats
+
+import jax
+import jax.numpy as jnp
 
 from pgmpy_tpu.estimators.base import _CodedData
 
@@ -33,6 +46,11 @@ def get_callable_ci_test(ci_test, data=None):
     raise ValueError("ci_test must be a string or callable")
 
 
+# --------------------------------------------------------------------------
+# Discrete family: one device count kernel + one batched statistic kernel
+# --------------------------------------------------------------------------
+
+
 def _contingency(X, Y, Z, data):
     """(cx, cy, n_z_configs) count tensor via the device kernel."""
     coded = data.__dict__.get("_pgmpy_tpu_coded")
@@ -45,24 +63,74 @@ def _contingency(X, Y, Z, data):
     table = coded.counts(X, [Y] + list(Z))
     cx = coded.cards[X]
     cy = coded.cards[Y]
-    return table.reshape(cx, cy, -1)
+    return np.asarray(table, dtype=np.float64).reshape(cx, cy, -1)
+
+
+# scipy's named Cressie-Read family members (stats.power_divergence)
+_LAMBDA_BY_NAME = {
+    "pearson": 1.0,
+    "log-likelihood": 0.0,
+    "freeman-tukey": -0.5,
+    "mod-log-likelihood": -1.0,
+    "neyman": -2.0,
+    "cressie-read": 2.0 / 3.0,
+}
+
+
+def _power_divergence_stat(table, lam):
+    """Summed power-divergence statistic + dof over all Z slices at once
+    (vectorized over the (cx, cy, nz) tensor — no per-Z Python loop).
+
+    Per slice, zero rows/columns are masked out (the reference strips them
+    before ``scipy.stats.chi2_contingency``); slices whose stripped table is
+    smaller than 2x2 contribute nothing.  dof per kept slice is
+    (nnz_rows-1)(nnz_cols-1), exactly scipy's for the stripped table.
+
+    Runs host-side in float64 on purpose: the O(n_rows) work is the device
+    count kernel in ``_contingency``; the statistic itself is a tiny
+    reduction over the count tensor, where a second device dispatch through
+    the TPU tunnel would cost more than it saves and float32 would lose the
+    reference's last digits.
+    """
+    with np.errstate(divide="ignore", invalid="ignore"):
+        O = table
+        row = O.sum(axis=1, keepdims=True)  # (cx, 1, nz)
+        col = O.sum(axis=0, keepdims=True)  # (1, cy, nz)
+        tot = O.sum(axis=(0, 1))  # (nz,)
+        nnz_r = (row[:, 0, :] > 0).sum(axis=0)
+        nnz_c = (col[0, :, :] > 0).sum(axis=0)
+        valid = (nnz_r >= 2) & (nnz_c >= 2)
+        E = row * col / np.where(tot > 0, tot, 1.0)[None, None, :]
+        mask = E > 0  # cells of the stripped table; E>0 there by construction
+        Esafe = np.where(mask, E, 1.0)
+        Osafe = np.where(O > 0, O, 1.0)
+        if lam == 1.0:  # pearson
+            terms = (O - E) ** 2 / Esafe
+        elif lam == 0.0:  # log-likelihood (G-test); O=0 contributes 0
+            terms = 2.0 * O * np.log(Osafe / Esafe)
+        elif lam == -1.0:  # mod-log-likelihood; O=0 with E>0 -> inf (scipy)
+            terms = 2.0 * E * np.log(Esafe / Osafe)
+            terms = np.where(mask & (O == 0), np.inf, terms)
+        else:
+            # generic Cressie-Read, literal scipy semantics: only lambda in
+            # {1, 0, -1} are special-cased there, so e.g. freeman-tukey /
+            # neyman with an interior O=0 cell produce 0*inf = nan like scipy
+            terms = 2.0 / (lam * (lam + 1.0)) * O * ((O / Esafe) ** lam - 1.0)
+        terms = np.where(mask, terms, 0.0)
+        stat_z = terms.sum(axis=(0, 1))
+        dof_z = (nnz_r - 1) * (nnz_c - 1)
+        stat = np.where(valid, stat_z, 0.0).sum()
+        dof = int(np.where(valid, dof_z, 0).sum())
+    return stat, dof
 
 
 def _power_divergence(X, Y, Z, data, boolean, significance_level, lambda_):
     table = _contingency(X, Y, list(Z), data)
-    stat_total, dof_total = 0.0, 0
-    for k in range(table.shape[2]):
-        sub = table[:, :, k]
-        sub = sub[sub.sum(axis=1) > 0][:, sub.sum(axis=0) > 0]
-        if sub.shape[0] < 2 or sub.shape[1] < 2:
-            continue
-        # correction=False: the reference's power_divergence applies no
-        # Yates continuity correction on 2x2 tables (ref CITests.py:94-502)
-        chi, _, dof, _ = stats.chi2_contingency(
-            sub, lambda_=lambda_, correction=False
-        )
-        stat_total += chi
-        dof_total += dof
+    lam = _LAMBDA_BY_NAME.get(lambda_, lambda_)
+    if not isinstance(lam, float):
+        lam = float(lam)
+    stat, dof = _power_divergence_stat(table, lam)
+    stat_total, dof_total = float(stat), int(dof)
     if dof_total == 0:
         p_value = 1.0
         stat_total = 0.0
@@ -98,14 +166,37 @@ def modified_log_likelihood(X, Y, Z, data, boolean=True, significance_level=0.05
     )
 
 
-def _residualize(target, Z, data):
-    import jax.numpy as jnp
+# --------------------------------------------------------------------------
+# Residual-based tests (continuous / mixed data)
+# --------------------------------------------------------------------------
 
-    y = data[target].to_numpy(dtype=np.float64)
+
+def _is_categorical(col):
+    """Categorical for CI purposes: category/object/string/bool dtypes.
+    (The reference keys on dtype == 'category' only, which crashes its
+    regressors on the string-state frames ``simulate`` returns.)"""
+    return (
+        isinstance(col.dtype, pd.CategoricalDtype)
+        or pd.api.types.is_bool_dtype(col)
+        or not pd.api.types.is_numeric_dtype(col)
+    )
+
+
+def _as_float_column(col):
+    """Numeric passthrough; categorical columns become integer codes —
+    never float-coerce state strings."""
+    if _is_categorical(col):
+        codes, _ = pd.factorize(col, sort=True)
+        return codes.astype(np.float64)
+    return col.to_numpy(dtype=np.float64)
+
+
+def _residualize(target, Z, data):
+    y = _as_float_column(data[target])
     if not Z:
         return y - y.mean()
     X = np.column_stack(
-        [np.ones(len(y))] + [data[z].to_numpy(dtype=np.float64) for z in Z]
+        [np.ones(len(y))] + [_as_float_column(data[z]) for z in Z]
     )
     beta, _, _, _ = jnp.linalg.lstsq(jnp.asarray(X), jnp.asarray(y))
     return y - X @ np.asarray(beta, dtype=np.float64)
@@ -129,25 +220,147 @@ def pearsonr(X, Y, Z, data, boolean=True, significance_level=0.05, **kwargs):
     return r, p_value
 
 
-def pillai_trace(X, Y, Z, data, boolean=True, significance_level=0.05, **kwargs):
-    """Pillai's trace effect size of X on Y after residualizing on Z; for
-    univariate X/Y this is the squared partial correlation, tested with an
-    F statistic."""
-    Z = list(Z)
-    rx = _residualize(X, Z, data)
-    ry = _residualize(Y, Z, data)
-    r = float(np.corrcoef(rx, ry)[0, 1])
-    effect = r**2
-    n = len(rx)
-    dof_denominator = n - len(Z) - 2
-    if effect >= 1.0:
-        p_value = 0.0
+def _feature_matrix(Z, data):
+    """(n, |Z|) float matrix for the boosted regressors, with categorical
+    columns integer-coded; returns the categorical feature indices so the
+    trees treat them as unordered."""
+    cols, cat_idx = [], []
+    for j, z in enumerate(Z):
+        col = data[z]
+        if _is_categorical(col):
+            codes, _ = pd.factorize(col, sort=True)
+            cols.append(codes.astype(np.float64))
+            cat_idx.append(j)
+        else:
+            cols.append(col.to_numpy(dtype=np.float64))
+    if not cols:
+        return np.zeros((data.shape[0], 0)), []
+    return np.column_stack(cols), cat_idx
+
+
+def _boosted_residuals(target, Z, data, seed=None, classifier_factory=None, regressor_factory=None):
+    """Residual block for one variable after regressing on Z with
+    gradient-boosted trees (reference ``CITests.py:574-637`` uses XGBoost;
+    this environment has none, so sklearn HistGradientBoosting* is the
+    default — same model family, native categorical splits).
+
+    Categorical target: one-hot(X) - predict_proba(Z), last column dropped
+    (multicollinearity, ref ``CITests.py:706-722``).  Continuous target:
+    X - predict(Z), one column.
+    """
+    col = data[target]
+    Zmat, cat_idx = _feature_matrix(Z, data)
+    n = data.shape[0]
+    constant_z = Zmat.shape[1] == 0 or bool(np.all(Zmat == Zmat[:1, :]))
+    if _is_categorical(col):
+        codes, categories = pd.factorize(col)
+        k = len(categories)
+        if k < 2:
+            return np.zeros((n, 0))
+        onehot = np.eye(k)[codes]
+        if constant_z:
+            # boosted trees on a constant feature predict the class priors
+            proba = np.broadcast_to(onehot.mean(axis=0), (n, k))
+        else:
+            if classifier_factory is None:
+                from sklearn.ensemble import HistGradientBoostingClassifier
+
+                clf = HistGradientBoostingClassifier(
+                    categorical_features=cat_idx or None, random_state=seed
+                )
+            else:
+                clf = classifier_factory()
+            clf.fit(Zmat, codes)
+            proba = clf.predict_proba(Zmat)
+            # classes_ are sorted codes 0..k-1 (all present after factorize),
+            # so proba columns align with the one-hot columns
+        return (onehot - proba)[:, :-1]
+    y = col.to_numpy(dtype=np.float64)
+    if constant_z:
+        pred = np.full(n, y.mean())
     else:
-        f_stat = effect / max(1 - effect, 1e-12) * dof_denominator
-        p_value = float(stats.f.sf(f_stat, 1, dof_denominator))
+        if regressor_factory is None:
+            from sklearn.ensemble import HistGradientBoostingRegressor
+
+            reg = HistGradientBoostingRegressor(
+                categorical_features=cat_idx or None, random_state=seed
+            )
+        else:
+            reg = regressor_factory()
+        reg.fit(Zmat, y)
+        pred = np.asarray(reg.predict(Zmat), dtype=np.float64)
+    return (y - pred)[:, None]
+
+
+def _canonical_corrs(res_x, res_y):
+    """Canonical correlations of two residual blocks.
+
+    The (n x p)(n x q) cross-products are one device matmul; the remaining
+    whiten-and-SVD runs on the tiny (p+q)^2 Gram matrix host-side.  Equals
+    the reference's per-component corrcoef of sklearn-CCA transforms
+    (``CITests.py:730-737``) for full-rank blocks, and degrades gracefully
+    (pinv tolerance) on rank-deficient ones.
+    """
+    A = res_x - res_x.mean(axis=0, keepdims=True)
+    B = res_y - res_y.mean(axis=0, keepdims=True)
+    p, q = A.shape[1], B.shape[1]
+    if p == 0 or q == 0:
+        return np.zeros(0)
+    M = jnp.asarray(np.column_stack([A, B]))
+    G = np.asarray(
+        jnp.matmul(M.T, M, precision=jax.lax.Precision.HIGHEST),
+        dtype=np.float64,
+    )
+    Sxx, Sxy, Syy = G[:p, :p], G[:p, p:], G[p:, p:]
+
+    def inv_sqrt(S):
+        w, V = np.linalg.eigh(S)
+        tol = max(w.max(), 0.0) * 1e-10 if w.size else 0.0
+        w_is = np.where(w > tol, 1.0 / np.sqrt(np.where(w > tol, w, 1.0)), 0.0)
+        return (V * w_is) @ V.T
+
+    K = inv_sqrt(Sxx) @ Sxy @ inv_sqrt(Syy)
+    s = np.linalg.svd(K, compute_uv=False)
+    return np.clip(s, 0.0, 1.0)
+
+
+def pillai_trace(X, Y, Z, data, boolean=True, significance_level=0.05, seed=None, **kwargs):
+    """Mixed-data residualization CI test (Ankan & Textor, AAAI 2024).
+
+    Pillai's trace of the canonical correlations between the boosted-tree
+    Z-residuals of X and Y, with the Muller-Peterson (1984) F
+    approximation for the p-value.  Works on any mix of categorical and
+    continuous columns.  Parity: reference ``CITests.py:638-755``.
+    """
+    Z = list(Z)
+    if not isinstance(data, pd.DataFrame):
+        raise ValueError(
+            f"Variable data. Expected type: pandas.DataFrame. Got type: {type(data)}"
+        )
+    factories = {
+        "classifier_factory": kwargs.get("classifier_factory"),
+        "regressor_factory": kwargs.get("regressor_factory"),
+    }
+    res_x = _boosted_residuals(X, Z, data, seed=seed, **factories)
+    res_y = _boosted_residuals(Y, Z, data, seed=seed, **factories)
+    p, q = res_x.shape[1], res_y.shape[1]
+    if p == 0 or q == 0:
+        # a single-state variable is independent of everything
+        return True if boolean else (0.0, 1.0)
+    cancor = _canonical_corrs(res_x, res_y)
+    coef = float((cancor**2).sum())
+
+    # Muller & Peterson (1984) F approximation (ref CITests.py:739-744)
+    n = data.shape[0]
+    s = min(p, q)
+    df1 = p * q
+    df2 = s * (n - 1 + s - p - q)
+    denom = max(s - coef, 1e-12)
+    f_stat = (coef / df1) * (df2 / denom)
+    p_value = float(stats.f.sf(f_stat, df1, df2))
     if boolean:
         return p_value >= significance_level
-    return effect, p_value
+    return coef, p_value
 
 
 def gcm(X, Y, Z, data, boolean=True, significance_level=0.05, regressor=None, **kwargs):
@@ -160,17 +373,17 @@ def gcm(X, Y, Z, data, boolean=True, significance_level=0.05, regressor=None, **
     else:
         import sklearn.base
 
-        Zmat = data.loc[:, Z].to_numpy(dtype=np.float64) if Z else None
-        if Zmat is None or Zmat.size == 0:
-            rx = data[X].to_numpy(dtype=np.float64) - data[X].mean()
-            ry = data[Y].to_numpy(dtype=np.float64) - data[Y].mean()
+        Zmat, _ = _feature_matrix(Z, data)
+        if Zmat.size == 0:
+            rx = _as_float_column(data[X])
+            rx = rx - rx.mean()
+            ry = _as_float_column(data[Y])
+            ry = ry - ry.mean()
         else:
-            rx = data[X].to_numpy(dtype=np.float64) - sklearn.base.clone(
-                regressor
-            ).fit(Zmat, data[X]).predict(Zmat)
-            ry = data[Y].to_numpy(dtype=np.float64) - sklearn.base.clone(
-                regressor
-            ).fit(Zmat, data[Y]).predict(Zmat)
+            x = _as_float_column(data[X])
+            y = _as_float_column(data[Y])
+            rx = x - sklearn.base.clone(regressor).fit(Zmat, x).predict(Zmat)
+            ry = y - sklearn.base.clone(regressor).fit(Zmat, y).predict(Zmat)
     n = len(rx)
     prod = rx * ry
     test_stat = np.sqrt(n) * prod.mean() / max(prod.std(), 1e-12)
