@@ -248,6 +248,47 @@ class DynamicBayesianNetwork(DAG):
     def get_markov_blanket(self, node):
         return [tuple(n) for n in super().get_markov_blanket(tuple(node))]
 
+    # ------------------------------------------------------------------ #
+    # tuple-node handling for inherited DAG methods
+    #
+    # DBN nodes are plain (name, time_slice) tuples, so DAG's
+    # single-vs-list `isinstance(x, (list, tuple))` checks would split a
+    # single node into its two elements.  These overrides map single
+    # (name, slice)/DynamicNode inputs onto lists of this graph's tuple
+    # nodes, mirroring the reference's active_trail_nodes override
+    # (ref DynamicBayesianNetwork.py:1036-1054).
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def _is_single_node(v):
+        return isinstance(v, DynamicNode) or (
+            isinstance(v, tuple)
+            and len(v) == 2
+            and isinstance(v[1], (int, np.integer))
+        )
+
+    @classmethod
+    def _node_list(cls, v):
+        if cls._is_single_node(v):
+            return [tuple(v)]
+        return [tuple(n) for n in v]
+
+    def active_trail_nodes(self, variables, observed=None, include_latents=False):
+        variables = self._node_list(variables)
+        if observed is not None and len(observed) > 0:
+            observed = self._node_list(observed)
+        return super().active_trail_nodes(
+            variables, observed=observed, include_latents=include_latents
+        )
+
+    def local_independencies(self, variables):
+        return super().local_independencies(self._node_list(variables))
+
+    def _get_ancestors_of(self, nodes):
+        return super()._get_ancestors_of(self._node_list(nodes))
+
+    def do(self, nodes, inplace=False):
+        return super().do(self._node_list(nodes), inplace=inplace)
+
     def get_constant_bn(self, t_slice=0):
         """Unroll the 2-TBN into a flat BN with string names 'var_t'."""
         from pgmpy_tpu.models.discrete_bn import DiscreteBayesianNetwork

@@ -198,3 +198,62 @@ class TestSimulateAndFit:
         df = pd.DataFrame({("Z", 0): [0, 1], ("Z", 1): [1, 0]})
         with pytest.raises(ValueError):
             learned.fit(df, estimator="EM")
+
+
+class TestTupleNodeSurface:
+    """VERDICT r3 item 4: inherited DAG methods must accept (name, slice)
+    tuple nodes and DynamicNode instances (ref
+    DynamicBayesianNetwork.py:1036-1054)."""
+
+    def _student(self):
+        dbn = DynamicBayesianNetwork()
+        dbn.add_edges_from([(("D", 0), ("G", 0)), (("I", 0), ("G", 0)),
+                            (("D", 0), ("D", 1)), (("I", 0), ("I", 1))])
+        return dbn
+
+    def test_active_trail_nodes_single_tuple(self):
+        dbn = self._student()
+        at = dbn.active_trail_nodes(("D", 0))
+        assert at[("D", 0)] == {("D", 0), ("D", 1), ("G", 0), ("G", 1)}
+
+    def test_active_trail_nodes_dynamicnode(self):
+        from pgmpy_tpu.models.dynamic_bn import DynamicNode
+
+        dbn = self._student()
+        at = dbn.active_trail_nodes(DynamicNode("D", 0))
+        assert at[("D", 0)] == {("D", 0), ("D", 1), ("G", 0), ("G", 1)}
+
+    def test_active_trail_nodes_observed_single(self):
+        dbn = self._student()
+        # observing the collider G0 opens D0 - I0
+        at = dbn.active_trail_nodes(("D", 0), observed=("G", 0))
+        assert ("I", 0) in at[("D", 0)]
+
+    def test_active_trail_nodes_list(self):
+        dbn = self._student()
+        at = dbn.active_trail_nodes([("D", 0), ("I", 0)],
+                                    observed=[("G", 0)])
+        assert set(at) == {("D", 0), ("I", 0)}
+
+    def test_is_dconnected_tuple_nodes(self):
+        dbn = self._student()
+        assert dbn.is_dconnected(("D", 0), ("G", 1))
+        assert not dbn.is_dconnected(("D", 0), ("I", 0))
+        assert dbn.is_dconnected(("D", 0), ("I", 0), observed=[("G", 0)])
+
+    def test_ancestral_graph_tuple_nodes(self):
+        dbn = self._student()
+        an = dbn.get_ancestral_graph([("G", 0)])
+        assert set(an.nodes()) == {("D", 0), ("I", 0), ("G", 0)}
+
+    def test_do_single_tuple_node(self):
+        dbn = self._student()
+        intervened = dbn.do(("G", 0))
+        assert list(intervened.predecessors(("G", 0))) == []
+        assert ("D", 0) in intervened.nodes()
+
+    def test_local_independencies_tuple_node(self):
+        dbn = self._student()
+        # must not raise; D0 has no parents, non-descendants = I0, I1
+        ind = dbn.local_independencies(("D", 0))
+        assert len(ind.get_assertions()) == 1
