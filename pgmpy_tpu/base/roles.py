@@ -30,6 +30,12 @@ class GraphRolesMixin:
     def has_role(self, role):
         return len(self.get_role(role)) > 0
 
+    @property
+    def roles(self):
+        """role -> nodes mapping (the reference documents this view in its
+        identification examples; its mixin only ships get_role_dict)."""
+        return self.get_role_dict()
+
     def with_role(self, role, variables, inplace=False):
         graph = self if inplace else self.copy()
         if isinstance(variables, str):
@@ -55,11 +61,21 @@ class GraphRolesMixin:
         return None if inplace else graph
 
     def is_valid_causal_structure(self):
-        """Exposure and outcome roles must each be present at most once as a
-        set and must not overlap."""
-        exposures = set(self.get_role("exposure"))
-        outcomes = set(self.get_role("outcome"))
-        return not (exposures & outcomes)
+        """Both 'exposure' and 'outcome' roles must be present; raises
+        otherwise (ref ``_mixin_roles.py:140-158``)."""
+        has_exposure = self.has_role("exposure")
+        has_outcome = self.has_role("outcome")
+        if has_exposure and has_outcome:
+            return True
+        problems = []
+        if not has_exposure:
+            problems.append("no 'exposure' role was defined")
+        if not has_outcome:
+            problems.append("no 'outcome' role was defined")
+        raise ValueError(
+            f"{type(self)} must have at least one 'exposure' and one 'outcome' "
+            f"role defined, but {', and '.join(problems)}."
+        )
 
     @property
     def latents(self):

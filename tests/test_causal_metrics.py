@@ -111,26 +111,100 @@ class TestCausalQuery:
 
 
 class TestIdentification:
-    def test_adjustment_strategy(self):
-        dag = DAG([("z", "x"), ("z", "y"), ("x", "y")])
-        dag = dag.with_role("exposure", ["x"]).with_role("outcome", ["y"])
-        adj = Adjustment(variant="minimal")
-        out = adj.identify(dag)
-        assert out["adjustment_sets"] == [{"z"}]
-        assert adj.validate(dag)
+    """Role-pipeline contract (ref identification/base.py:17-22,
+    adjustment.py:117-232): identify returns (role-annotated graph,
+    success); validate checks the graph's GIVEN adjustment role."""
+
+    def test_adjustment_minimal_reference_example(self):
+        # the reference Adjustment docstring example, run unchanged
+        dag = DAG(
+            ebunch=[("x1", "y1"), ("x1", "z1"), ("z1", "z2"),
+                    ("z2", "x2"), ("y2", "z2")],
+            roles={"exposure": "x1", "outcome": "y1"},
+        )
+        dag_with_adj, success = Adjustment(variant="minimal").identify(dag)
+        assert success
+        # x1 -> y1 has no backdoor path: the minimal set is empty
+        assert dag_with_adj.get_role("adjustment") == []
+        # original graph untouched
+        assert "adjustment" not in dag.roles
+
+    def test_adjustment_minimal_confounder(self):
+        dag = DAG([("z", "x"), ("z", "y"), ("x", "y")],
+                  roles={"exposure": "x", "outcome": "y"})
+        out, success = Adjustment(variant="minimal").identify(dag)
+        assert success and set(out.get_role("adjustment")) == {"z"}
+
+    def test_adjustment_validate_given_role(self):
+        dag = DAG([("z", "x"), ("z", "y"), ("x", "y")],
+                  roles={"exposure": "x", "outcome": "y"})
+        good = dag.with_role("adjustment", ["z"])
+        assert Adjustment().validate(good)
+        # without adjusting for z, the confounder leaks: invalid
+        assert not Adjustment().validate(dag)
+
+    def test_adjustment_all_is_validated_powerset(self):
+        # z is a confounder, w an ancestor of z; valid sets: {z}, {z, w}
+        dag = DAG([("w", "z"), ("z", "x"), ("z", "y"), ("x", "y")],
+                  roles={"exposure": "x", "outcome": "y"})
+        graphs, success = Adjustment(variant="all").identify(dag)
+        assert success
+        found = {frozenset(g.get_role("adjustment")) for g in graphs}
+        assert found == {frozenset({"z"}), frozenset({"z", "w"})}
+
+    def test_adjustment_unidentifiable(self):
+        dag = DAG([("u", "x"), ("u", "y"), ("x", "y")], latents=["u"],
+                  roles={"exposure": "x", "outcome": "y"})
+        out, success = Adjustment(variant="minimal").identify(dag)
+        assert not success and out is dag
 
     def test_frontdoor_strategy(self):
         dag = DAG(
-            [("u", "s"), ("u", "c"), ("s", "t"), ("t", "c")], latents=["u"]
+            [("u", "s"), ("u", "c"), ("s", "t"), ("t", "c")], latents=["u"],
+            roles={"exposure": "s", "outcome": "c"},
         )
-        dag = dag.with_role("exposure", ["s"]).with_role("outcome", ["c"])
-        out = Frontdoor().identify(dag)
-        assert frozenset(["t"]) in set(map(frozenset, out["frontdoor_sets"]))
+        out, success = Frontdoor().identify(dag)
+        assert success and out.get_role("frontdoor") == ["t"]
+
+    def test_frontdoor_all_variant(self):
+        dag = DAG(
+            [("u", "s"), ("u", "c"), ("s", "t"), ("t", "c")], latents=["u"],
+            roles={"exposure": "s", "outcome": "c"},
+        )
+        graphs, success = Frontdoor(variant="all").identify(dag)
+        assert success
+        assert {frozenset(g.get_role("frontdoor")) for g in graphs} == {
+            frozenset({"t"})
+        }
+
+    def test_frontdoor_failure(self):
+        dag = DAG([("u", "x"), ("u", "y"), ("x", "y")], latents=["u"],
+                  roles={"exposure": "x", "outcome": "y"})
+        out, success = Frontdoor().identify(dag)
+        assert not success
 
     def test_missing_roles_raises(self):
         dag = DAG([("a", "b")])
-        with pytest.raises(ValueError):
+        with pytest.raises(ValueError, match="exposure"):
             Adjustment().identify(dag)
+
+    def test_unsupported_graph_type_raises(self):
+        from pgmpy_tpu.base import UndirectedGraph
+
+        g = UndirectedGraph([("a", "b")])
+        with pytest.raises(ValueError):
+            Adjustment().identify(g)
+
+    def test_multi_exposure_raises_not_implemented(self):
+        dag = DAG([("x1", "y"), ("x2", "y")],
+                  roles={"exposure": ["x1", "x2"], "outcome": "y"})
+        with pytest.raises(NotImplementedError):
+            Adjustment(variant="minimal").identify(dag)
+
+    def test_minimal_variance_not_implemented(self):
+        dag = DAG([("x", "y")], roles={"exposure": "x", "outcome": "y"})
+        with pytest.raises(NotImplementedError):
+            Adjustment(variant="minimal_variance").identify(dag)
 
 
 class TestMetrics:
