@@ -18,6 +18,13 @@ import logging
 import jax
 import jax.numpy as jnp
 
+# Smallest NORMAL float32.  XLA flushes subnormals to zero, so a literal
+# 1e-38 inside a compiled program silently becomes 0.0 and a
+# `x / maximum(d, 1e-38)` zero-division guard turns into 0/0 = NaN
+# (observed on the insurance network's deterministic zeros).  Every
+# device-side clamp must use this instead.
+TINY = 1.1754944e-38
+
 
 class _DuplicateFilter(logging.Filter):
     """Suppress consecutive duplicate log records (reference:

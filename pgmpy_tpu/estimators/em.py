@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pgmpy_tpu.config import config, logger
+from pgmpy_tpu.config import TINY, config, logger
 from pgmpy_tpu.estimators.base import _CodedData, ParameterEstimator
 from pgmpy_tpu.factors.cpd import TabularCPD
 
@@ -121,7 +121,7 @@ class ExpectationMaximization(ParameterEstimator):
                     valid = valid & (codes[:, pj] >= 0)
                     flat = flat * pc + jnp.maximum(codes[:, pj], 0)
                 term = jnp.log(
-                    jnp.maximum(table[flat, jnp.maximum(codes[:, vi], 0)], 1e-38)
+                    jnp.maximum(table[flat, jnp.maximum(codes[:, vi], 0)], TINY)
                 )
                 lp = lp + jnp.where(valid, term, 0.0)
             return lp

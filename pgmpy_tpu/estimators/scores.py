@@ -374,18 +374,19 @@ class ScoreCache(StructureScore):
     def __init__(self, base_scorer, data, max_size=10000, **kwargs):
         if not isinstance(base_scorer, StructureScore):
             raise TypeError("base_scorer must be an instance of StructureScore")
+        from pgmpy_tpu.utils.cache import LRUDict
+
         self.base_scorer = base_scorer
         self.max_size = max_size
-        self._cache = {}
+        self._cache = LRUDict(max_size=max_size)
         super().__init__(data, **kwargs)
 
     def local_score(self, variable, parents):
         key = (variable, tuple(sorted(parents, key=str)))
         if key in self._cache:
+            # true LRU: a hit refreshes recency (ref ScoreCache.py:18-124)
             return self._cache[key]
         score = self.base_scorer.local_score(variable, list(parents))
-        if len(self._cache) >= self.max_size:
-            self._cache.pop(next(iter(self._cache)))
         self._cache[key] = score
         return score
 

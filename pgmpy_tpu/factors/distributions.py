@@ -8,6 +8,8 @@ the same role with ``sample(key, shape)`` / ``log_prob(x)`` built on
 
 import jax
 import jax.numpy as jnp
+
+from pgmpy_tpu.config import TINY
 import numpy as np
 
 
@@ -100,11 +102,11 @@ class Categorical(Distribution):
 
     def sample(self, key, shape=()):
         return jax.random.categorical(
-            key, jnp.log(jnp.maximum(self.probs, 1e-38)), shape=shape
+            key, jnp.log(jnp.maximum(self.probs, TINY)), shape=shape
         )
 
     def log_prob(self, x):
-        return jnp.log(jnp.maximum(self.probs[x.astype(int)], 1e-38))
+        return jnp.log(jnp.maximum(self.probs[x.astype(int)], TINY))
 
 
 class Uniform(Distribution):

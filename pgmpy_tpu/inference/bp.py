@@ -28,6 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from pgmpy_tpu.config import TINY
 from pgmpy_tpu.factors.discrete import DiscreteFactor
 from pgmpy_tpu.inference.base import Inference
 from pgmpy_tpu.inference.ve import VariableElimination
@@ -112,8 +113,14 @@ class JunctionTreeProgram:
         tree.add_nodes_from(self.cliques)
         tree.add_edges_from(edges)
         upward, downward, ordered_edges = [], [], []
+        # roots recorded so distributed calibration (parallel/jt_mesh.py)
+        # can partition around the SAME roots: with in-flight message
+        # normalization the per-clique belief scale depends on the rooted
+        # schedule, so root parity is required for bitwise-comparable output
+        self.component_roots = []
         for component in nx.connected_components(tree):
             root = next(iter(component))
+            self.component_roots.append(root)
             comp_edges = list(nx.bfs_edges(tree, root))
             ordered_edges.extend(comp_edges)
             upward.extend((child, parent) for parent, child in reversed(comp_edges))
@@ -277,14 +284,14 @@ class JunctionTreeProgram:
                         sigma = jnp.transpose(sigma, perm)
                     if normalize_messages:
                         # scale control for arbitrary-scale factors
-                        sigma = sigma / jnp.maximum(jnp.sum(sigma), 1e-38)
+                        sigma = sigma / jnp.maximum(jnp.sum(sigma), TINY)
                     if fresh:
                         ratio = sigma
                     else:
                         # mu is a normalized non-negative message: zero only
                         # where sigma is zero, so clamped division gives the
                         # 0/0=0 semantics without the NaN-filter ops
-                        ratio = sigma / jnp.maximum(mu_local[edge], 1e-38)
+                        ratio = sigma / jnp.maximum(mu_local[edge], TINY)
                     local[dst] = local[dst] * _expand(ratio, bperm, bspec)
                     mu_local[edge] = sigma
                 return (
@@ -343,6 +350,147 @@ class JunctionTreeProgram:
         return calibrate
 
 
+class _CompiledBPQuery:
+    """One compiled post-calibration query program per (query vars,
+    evidence vars) signature — the BP analogue of ``ve._CompiledQuery``.
+
+    Built once per signature: prune the model, calibrate the pruned
+    junction tree (raw device arrays, never materialized factors), extract
+    the minimal covering subtree's potentials (root belief + child/sepset
+    ratios, Koller & Friedman Alg. 10.4), and close a jitted contraction
+    over them that takes only the evidence state codes as input.  Repeat
+    queries with the same signature are a single executable dispatch.
+    Reference semantics: ``ExactInference.py:997-1319``.
+    """
+
+    def __init__(self, bp, variables, ev_vars):
+        from pgmpy_tpu.config import config
+        from pgmpy_tpu.inference.ve import _SMALL_QUERY_ELEMENTS, _cpu_device
+        from pgmpy_tpu.ops.einsum import PRECISION, make_axis_map
+
+        model, kept_evidence = bp._prune_bayesian_model(
+            list(variables), {v: 0 for v in ev_vars}
+        )
+        self.query_vars = list(variables)
+        self.kept = [v for v in ev_vars if v in kept_evidence]
+
+        inner = BeliefPropagation(model)
+        inner._calibrate_junction_tree(operation="marginalize")
+        program = inner._program
+        beliefs, mu = inner._raw_beliefs
+        inner._raw_beliefs = None  # keep the big factor dicts unmaterialized
+
+        cards = program.cards
+        missing = [v for v in self.query_vars if v not in cards]
+        if missing:
+            raise ValueError(f"Query variables not in reduced model: {missing}")
+
+        # minimal covering subtree per connected component over
+        # query + evidence variables (bp._query semantics)
+        tree = inner.junction_tree
+        target_vars = set(self.query_vars) | set(self.kept)
+        covering_all = {
+            c for c in tree.nodes() if target_vars & set(c)
+        }
+        arrays, scopes = [], []
+        for component in nx.connected_components(tree):
+            covering = [c for c in covering_all if c in component]
+            if not covering:
+                continue
+            subtree_nodes = set(covering)
+            for i in range(len(covering) - 1):
+                subtree_nodes.update(
+                    nx.shortest_path(tree, covering[i], covering[i + 1])
+                )
+            sub = tree.subgraph(subtree_nodes)
+            root = next(iter(subtree_nodes))
+            arrays.append(beliefs[program.index[root]])
+            scopes.append(list(root))
+            parent_nodes = {root}
+            traversed = set()
+            while parent_nodes:
+                parent = parent_nodes.pop()
+                for child in set(sub.neighbors(parent)) - traversed:
+                    edge_id = program.edge_ids[frozenset((parent, child))]
+                    sepset = sorted(set(parent) & set(child), key=str)
+                    bperm, bspec = _broadcast_spec(sepset, list(child))
+                    ratio = _safe_div(
+                        beliefs[program.index[child]],
+                        _expand(mu[edge_id], bperm, bspec),
+                    )
+                    arrays.append(ratio)
+                    scopes.append(list(child))
+                    parent_nodes.add(child)
+                traversed.add(parent)
+
+        state_names = inner._state_names
+        self.cards = [int(cards[v]) for v in self.query_vars]
+        self.state_names = {
+            v: list(state_names[v]) for v in self.query_vars if v in state_names
+        }
+        self._code_maps = [
+            {s: i for i, s in enumerate(state_names[v])} for v in self.kept
+        ]
+        self._kept_cards = [int(cards[v]) for v in self.kept]
+
+        var_to_int, operand_axes = make_axis_map(
+            scopes + [[v] for v in self.kept]
+        )
+        out_axes = [var_to_int[v] for v in self.query_vars]
+
+        out_size = int(np.prod(self.cards)) if self.cards else 1
+        total = sum(int(np.asarray(a).size) for a in arrays) + out_size
+        self._device = _cpu_device() if total < _SMALL_QUERY_ELEMENTS else None
+        if self._device is not None:
+            arrays = [jax.device_put(a, self._device) for a in arrays]
+
+        n_f = len(arrays)
+        kept_cards = self._kept_cards
+        dtype = config.DTYPE
+
+        def run(codes):
+            interleaved = []
+            for arr, axes in zip(arrays, operand_axes[:n_f]):
+                interleaved.append(arr)
+                interleaved.append(list(axes))
+            for k, axes in enumerate(operand_axes[n_f:]):
+                interleaved.append(
+                    jax.nn.one_hot(codes[k], kept_cards[k], dtype=dtype)
+                )
+                interleaved.append(list(axes))
+            interleaved.append(out_axes)
+            values = jnp.einsum(
+                *interleaved, optimize="greedy", precision=PRECISION
+            )
+            return values / jnp.sum(values)
+
+        self._fn = jax.jit(run)
+
+    def encode(self, evidence):
+        codes = np.empty(len(self.kept), dtype=np.int32)
+        for k, var in enumerate(self.kept):
+            state = evidence[var]
+            mapping = self._code_maps[k]
+            if state in mapping:
+                codes[k] = mapping[state]
+            elif isinstance(state, (int, np.integer)) and 0 <= state < self._kept_cards[k]:
+                codes[k] = int(state)
+            else:
+                raise ValueError(f"Evidence state {state!r} not valid for {var}")
+        return codes
+
+    def __call__(self, evidence):
+        codes = self.encode(evidence)
+        if self._device is not None:
+            on_device = jax.device_put(codes, self._device)
+        else:
+            on_device = jnp.asarray(codes)
+        values = self._fn(on_device)
+        return DiscreteFactor(
+            list(self.query_vars), self.cards, values, state_names=self.state_names
+        )
+
+
 class BeliefPropagation(Inference):
     def __init__(self, model):
         super().__init__(model)
@@ -395,6 +543,23 @@ class BeliefPropagation(Inference):
         self._state_names = {}
         for f in self._input_factors:
             self._state_names.update(f.state_names)
+
+    def _get_compiled_query(self, variables, ev_vars):
+        """Per-signature compiled query cache on the model, token-checked
+        and LRU-bounded (mirrors ``ve._get_compiled_query``)."""
+        from pgmpy_tpu.utils.cache import LRUDict
+
+        token = self.model._cache_token()
+        cache = self.model.__dict__.get("_bp_program_cache")
+        if cache is None or cache[0] != token:
+            cache = (token, LRUDict(max_size=128))
+            self.model.__dict__["_bp_program_cache"] = cache
+        key = (tuple(variables), tuple(ev_vars))
+        prog = cache[1].get(key)
+        if prog is None:
+            prog = _CompiledBPQuery(self, variables, ev_vars)
+            cache[1][key] = prog
+        return prog
 
     def get_cliques(self):
         return self.junction_tree.nodes()
@@ -572,17 +737,26 @@ class BeliefPropagation(Inference):
                 self.__init__(original)
 
         if isinstance(self.model, DiscreteBayesianNetwork):
-            pruned, evidence = self._prune_bayesian_model(variables, evidence)
-            bp = BeliefPropagation(pruned)
-            result = bp._query(
-                variables=variables, operation="marginalize", evidence=evidence,
-                joint=joint, show_progress=show_progress,
+            # compiled per-signature program (prune + calibrate + subtree
+            # contraction happen ONCE per (query vars, evidence vars)
+            # signature; repeat queries are a single dispatch with evidence
+            # entering as device codes — mirrors ve._get_compiled_query)
+            prog = self._get_compiled_query(
+                tuple(variables), tuple(sorted(evidence.keys(), key=str))
             )
-        else:
-            result = self._query(
-                variables=variables, operation="marginalize", evidence=evidence,
-                joint=joint, show_progress=show_progress,
-            )
+            result = prog(evidence)
+            if joint:
+                return result
+            return {
+                var: result.marginalize(
+                    [v for v in variables if v != var], inplace=False
+                )
+                for var in variables
+            }
+        result = self._query(
+            variables=variables, operation="marginalize", evidence=evidence,
+            joint=joint, show_progress=show_progress,
+        )
         if joint:
             return result.normalize(inplace=False)
         return result

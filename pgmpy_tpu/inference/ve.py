@@ -425,10 +425,12 @@ class VariableElimination(Inference):
     # the fused ("greedy") path: compiled per-signature programs
     # ------------------------------------------------------------------ #
     def _get_compiled_query(self, variables, ev_vars):
+        from pgmpy_tpu.utils.cache import LRUDict
+
         token = self.model._cache_token()
         cache = self.model.__dict__.get("_ve_program_cache")
         if cache is None or cache[0] != token:
-            cache = (token, {})
+            cache = (token, LRUDict(max_size=256))
             self.model.__dict__["_ve_program_cache"] = cache
         key = (tuple(variables), tuple(ev_vars))
         prog = cache[1].get(key)

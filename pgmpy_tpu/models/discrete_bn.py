@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 
 from pgmpy_tpu.base.dag import DAG
-from pgmpy_tpu.config import logger
+from pgmpy_tpu.config import TINY, logger
 from pgmpy_tpu.factors.cpd import TabularCPD
 from pgmpy_tpu.factors.discrete import DiscreteFactor
 
@@ -224,7 +224,7 @@ class DiscreteBayesianNetwork(DAG):
             import jax
             import jax.numpy as jnp
 
-            logits = jnp.log(jnp.maximum(values.reshape(n, -1), 1e-38))
+            logits = jnp.log(jnp.maximum(values.reshape(n, -1), TINY))
             picks = np.asarray(
                 jax.random.categorical(
                     jax.random.PRNGKey(seed if seed is not None else 0), logits

@@ -139,3 +139,31 @@ class TestBPAlarm:
         )
         marg_ve = ve.query([var], show_progress=False)
         assert marg_bp == marg_ve
+
+
+class TestCalibrationNumerics:
+    def test_insurance_no_nan_beliefs(self):
+        # regression: the 1e-38 zero-division guard is SUBNORMAL in f32 and
+        # XLA flushes it to 0, turning 0/0 guards into NaN on networks with
+        # deterministic zeros (insurance); clamps must use config.TINY
+        from pgmpy_tpu.utils import get_example_model
+
+        model = get_example_model("insurance")
+        bp = BeliefPropagation(model)
+        bp.calibrate()
+        for clique, factor in bp.get_clique_beliefs().items():
+            values = np.asarray(factor.values)
+            assert np.isfinite(values).all(), clique
+            # calibrated BN clique beliefs are joint marginals: sum to 1
+            np.testing.assert_allclose(values.sum(), 1.0, atol=1e-3)
+
+    def test_tiny_constant_survives_xla(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pgmpy_tpu.config import TINY
+
+        clamped = jax.jit(lambda x: jnp.maximum(x, TINY))(
+            jnp.asarray(0.0, jnp.float32)
+        )
+        assert float(clamped) > 0.0

@@ -28,6 +28,9 @@ from pgmpy_tpu.models import (
     FactorGraph,
 )
 
+# numeric golden module: re-runs on the real chip in the TPU parity lane
+pytestmark = pytest.mark.tpu
+
 
 def _random_bn(seed, n_nodes=8, edge_prob=0.4, n_states=None):
     return DiscreteBayesianNetwork.get_random(
@@ -349,3 +352,107 @@ class TestDBNInference:
             [("Z", 0)], evidence={("X", 0): 0, ("X", 1): 1})
         got = np.asarray(result[("Z", 0)].values, dtype=np.float64)
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestCompiledBPQueryCache:
+    """VERDICT r3 item 2: BP.query compiles one program per (query vars,
+    evidence vars) signature and reuses it across calls."""
+
+    def _model(self):
+        from pgmpy_tpu.utils import get_example_model
+
+        return get_example_model("cancer")
+
+    def test_program_cached_per_signature(self):
+        from pgmpy_tpu.inference import BeliefPropagation
+
+        model = self._model()
+        bp = BeliefPropagation(model)
+        bp.query(["Cancer"], evidence={"Smoker": "True"})
+        cache = model.__dict__["_bp_program_cache"][1]
+        key = (("Cancer",), ("Smoker",))
+        prog1 = cache.get(key)
+        assert prog1 is not None
+        bp.query(["Cancer"], evidence={"Smoker": "False"})
+        assert cache.get(key) is prog1  # reused, not recompiled
+        assert len(cache) == 1
+
+    def test_cache_invalidated_on_model_edit(self):
+        from pgmpy_tpu.inference import BeliefPropagation
+
+        model = self._model()
+        bp = BeliefPropagation(model)
+        before = bp.query(["Cancer"], evidence={"Smoker": "True"})
+        cpd = model.get_cpds("Smoker")
+        model.remove_cpds(cpd)
+        model.add_cpds(cpd)
+        bp2 = BeliefPropagation(model)
+        after = bp2.query(["Cancer"], evidence={"Smoker": "True"})
+        np.testing.assert_allclose(
+            np.asarray(before.values), np.asarray(after.values), atol=1e-6
+        )
+
+    def test_bp_query_matches_ve_across_signatures(self):
+        from pgmpy_tpu.inference import BeliefPropagation, VariableElimination
+        from pgmpy_tpu.utils import get_example_model
+
+        model = get_example_model("alarm")
+        bp = BeliefPropagation(model)
+        ve = VariableElimination(model)
+        cases = [
+            (["HISTORY"], {"CVP": "LOW", "HR": "HIGH"}),
+            (["BP"], {}),
+            (["VENTLUNG", "INTUBATION"], {"SHUNT": "NORMAL"}),
+        ]
+        for qv, ev in cases:
+            a = bp.query(qv, evidence=ev or None)
+            b = ve.query(qv, evidence=ev or None)
+            assert list(a.variables) == list(b.variables)
+            np.testing.assert_allclose(
+                np.asarray(a.values, dtype=np.float64),
+                np.asarray(b.values, dtype=np.float64),
+                atol=1e-5,
+            )
+
+    def test_joint_false(self):
+        from pgmpy_tpu.inference import BeliefPropagation
+
+        model = self._model()
+        bp = BeliefPropagation(model)
+        out = bp.query(["Cancer", "Pollution"], evidence={"Xray": "positive"},
+                       joint=False)
+        assert set(out) == {"Cancer", "Pollution"}
+        for phi in out.values():
+            np.testing.assert_allclose(float(np.sum(np.asarray(phi.values))),
+                                       1.0, atol=1e-5)
+
+
+class TestLRUDict:
+    def test_eviction_is_lru_not_fifo(self):
+        from pgmpy_tpu.utils.cache import LRUDict
+
+        d = LRUDict(max_size=2)
+        d["a"] = 1
+        d["b"] = 2
+        assert d["a"] == 1  # refresh a
+        d["c"] = 3  # evicts b (least recently used), NOT a (first inserted)
+        assert "a" in d and "c" in d and "b" not in d
+
+    def test_score_cache_is_lru(self):
+        import pandas as pd
+
+        from pgmpy_tpu.estimators import K2
+        from pgmpy_tpu.estimators.scores import ScoreCache
+
+        rng = np.random.default_rng(0)
+        df = pd.DataFrame(
+            rng.integers(0, 2, (200, 4)), columns=list("ABCD")
+        ).astype(str)
+        cache = ScoreCache(K2(df), df, max_size=2)
+        s_a = cache.local_score("A", [])
+        cache.local_score("B", [])
+        # hit A to refresh, then insert C: B must be evicted, A kept
+        assert cache.local_score("A", []) == s_a
+        cache.local_score("C", [])
+        keys = set(cache._cache.keys())
+        assert ("A", ()) in keys and ("B", ()) not in keys
