@@ -24,6 +24,10 @@ from pgmpy_tpu.estimators.citests import (
 )
 from pgmpy_tpu.utils import get_example_model
 
+# numeric golden module: re-runs on the real chip in the TPU parity lane
+pytestmark = pytest.mark.tpu
+
+
 
 def _scipy_loop_oracle(X, Y, Z, data, lambda_):
     """The pre-r3 per-Z-slice scipy implementation, kept as the oracle."""

@@ -24,6 +24,10 @@ from pgmpy_tpu.estimators import (
 from pgmpy_tpu.factors import TabularCPD
 from pgmpy_tpu.models import DiscreteBayesianNetwork
 
+# numeric golden module: re-runs on the real chip in the TPU parity lane
+pytestmark = pytest.mark.tpu
+
+
 
 def student_bn():
     model = DiscreteBayesianNetwork(

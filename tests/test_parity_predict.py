@@ -17,6 +17,10 @@ from pgmpy_tpu.models import DiscreteBayesianNetwork
 from pgmpy_tpu.factors import TabularCPD
 from pgmpy_tpu.utils import get_example_model
 
+# numeric golden module: re-runs on the real chip in the TPU parity lane
+pytestmark = pytest.mark.tpu
+
+
 GOLDENS = json.load(
     open(os.path.join(os.path.dirname(__file__), "reference_goldens.json"))
 )

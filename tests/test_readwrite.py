@@ -14,6 +14,10 @@ from pgmpy_tpu.readwrite.xbn import XBNReader, XBNWriter
 from pgmpy_tpu.readwrite.xdsl import XDSLReader, XDSLWriter
 from pgmpy_tpu.readwrite.xmlbif import XMLBIFReader, XMLBIFWriter
 
+# numeric golden module: re-runs on the real chip in the TPU parity lane
+pytestmark = pytest.mark.tpu
+
+
 
 def cancer_model():
     model = DiscreteBayesianNetwork([("Pollution", "Cancer"), ("Smoker", "Cancer")])

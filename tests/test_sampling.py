@@ -6,6 +6,10 @@ from pgmpy_tpu.inference import VariableElimination
 from pgmpy_tpu.models import DiscreteBayesianNetwork
 from pgmpy_tpu.sampling import BayesianModelSampling, GibbsSampling
 
+# numeric golden module: re-runs on the real chip in the TPU parity lane
+pytestmark = pytest.mark.tpu
+
+
 
 def student_bn():
     model = DiscreteBayesianNetwork(
