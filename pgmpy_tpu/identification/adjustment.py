@@ -73,9 +73,48 @@ class Adjustment(BaseIdentification):
             )
 
         if self.variant == "minimal_variance":
-            raise NotImplementedError(
-                "Backdoor identification with minimal variance is not implemented yet."
-            )
+            # O-set of Henckel, Perkovic & Maathuis (2019) / Witte et al.
+            # (2020): O(X, Y, G) = pa(cn(X, Y, G)) \ forb(X, Y, G), the
+            # valid adjustment set whose OLS estimator of the total effect
+            # has minimal asymptotic variance.  (The reference stubs this
+            # variant with NotImplementedError, ``adjustment.py:195-198``.)
+            if not isinstance(causal_graph, DAG):
+                raise NotImplementedError(
+                    "minimal_variance identification is only implemented for DAGs."
+                )
+            if len(causal_graph.get_role("exposure")) != 1 or len(
+                causal_graph.get_role("outcome")
+            ) != 1:
+                raise NotImplementedError(
+                    "minimal_variance identification is only implemented for a "
+                    "single exposure and outcome."
+                )
+            exposure = causal_graph.get_role("exposure")[0]
+            outcome = causal_graph.get_role("outcome")[0]
+
+            # cn: nodes (except the exposure) on proper causal paths X -> Y
+            descendants_x = nx.descendants(causal_graph, exposure)
+            causal_nodes = {
+                w
+                for w in descendants_x
+                if w == outcome or outcome in nx.descendants(causal_graph, w)
+            }
+            if not causal_nodes:
+                return causal_graph, False
+            # forb: the exposure and all descendants of causal nodes
+            forbidden = {exposure}
+            for w in causal_nodes:
+                forbidden.add(w)
+                forbidden |= nx.descendants(causal_graph, w)
+            o_set = set()
+            for w in causal_nodes:
+                o_set |= set(causal_graph.predecessors(w))
+            o_set -= forbidden
+            if o_set & set(causal_graph.latents):
+                # the optimal set is not fully observed: not usable
+                return causal_graph, False
+            annotated = causal_graph.with_role("adjustment", o_set, inplace=False)
+            return annotated, self._validate(annotated)
 
         # variant == "all": validated powerset of non-forbidden ancestors
         exposure = causal_graph.get_role("exposure")[0]

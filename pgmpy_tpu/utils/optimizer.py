@@ -47,20 +47,42 @@ def optimize(
     params = jax.tree_util.tree_map(jnp.asarray, params)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state):
-        loss, grads = jax.value_and_grad(lambda p: loss_fn(p, loss_args))(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    objective = lambda p: loss_fn(p, loss_args)
 
-    prev_loss = None
-    for _ in range(int(max_iter)):
-        params, opt_state, loss = step(params, opt_state)
-        loss = float(loss)
-        if prev_loss is not None and abs(prev_loss - loss) < exit_delta:
+    def one_step(carry, _):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(objective)(params)
+        try:
+            updates, new_state = tx.update(
+                grads, opt_state, params, value=loss, grad=grads,
+                value_fn=objective,
+            )
+        except TypeError:
+            updates, new_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, new_state), loss
+
+    # Steps run in jitted lax.scan chunks with ONE host sync per chunk:
+    # syncing the loss every step costs a device round-trip per iteration,
+    # which through the remote-TPU tunnel dominates the whole fit.
+    chunk = max(1, min(64, int(max_iter)))
+
+    @jax.jit
+    def run_chunk(params, opt_state):
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), None, length=chunk
+        )
+        return params, opt_state, losses
+
+    steps_done = 0
+    while steps_done < int(max_iter):
+        params, opt_state, losses = run_chunk(params, opt_state)
+        steps_done += chunk
+        losses = np.asarray(losses, dtype=np.float64)
+        if not np.isfinite(losses[-1]):
             break
-        prev_loss = loss
+        if losses.size >= 2 and abs(losses[-2] - losses[-1]) < exit_delta:
+            break
     return params
 
 

@@ -201,8 +201,11 @@ class TestIdentification:
         with pytest.raises(NotImplementedError):
             Adjustment(variant="minimal").identify(dag)
 
-    def test_minimal_variance_not_implemented(self):
-        dag = DAG([("x", "y")], roles={"exposure": "x", "outcome": "y"})
+    def test_minimal_variance_multi_exposure_raises(self):
+        # (single-exposure O-set implemented — the reference stubs the whole
+        # variant; multi-exposure stays NotImplementedError)
+        dag = DAG([("x1", "y"), ("x2", "y")],
+                  roles={"exposure": ["x1", "x2"], "outcome": "y"})
         with pytest.raises(NotImplementedError):
             Adjustment(variant="minimal_variance").identify(dag)
 
@@ -427,3 +430,61 @@ class TestEstimateATE:
         assert ci.estimate_ate(
             "x", "y", data, estimand_strategy=frozenset({"z"})
         ) == pytest.approx(2.0, abs=0.05)
+
+
+class TestOptimalAdjustment:
+    """variant='minimal_variance' implements the O-set of Henckel et al.
+    (2019) — the reference stubs it with NotImplementedError."""
+
+    def test_o_set_simple_precision_variable(self):
+        # Z is a parent of Y only: minimal set is empty, but adjusting for
+        # Z shrinks estimator variance -> O = {Z}
+        dag = DAG([("x", "y"), ("z", "y")],
+                  roles={"exposure": "x", "outcome": "y"})
+        out, success = Adjustment(variant="minimal_variance").identify(dag)
+        assert success and set(out.get_role("adjustment")) == {"z"}
+        # contrast: the minimal variant picks the empty set
+        out_min, ok = Adjustment(variant="minimal").identify(dag)
+        assert ok and out_min.get_role("adjustment") == []
+
+    def test_o_set_mediator_parents(self):
+        # X -> M -> Y with V -> M and W -> Y: O = pa(cn) \ forb = {V, W}
+        dag = DAG([("x", "m"), ("m", "y"), ("v", "m"), ("w", "y")],
+                  roles={"exposure": "x", "outcome": "y"})
+        out, success = Adjustment(variant="minimal_variance").identify(dag)
+        assert success and set(out.get_role("adjustment")) == {"v", "w"}
+
+    def test_o_set_is_valid_adjustment(self):
+        dag = DAG([("z", "x"), ("z", "y"), ("x", "m"), ("m", "y"), ("w", "y")],
+                  roles={"exposure": "x", "outcome": "y"})
+        out, success = Adjustment(variant="minimal_variance").identify(dag)
+        assert success
+        assert Adjustment().validate(out)
+
+    def test_no_causal_path_fails(self):
+        dag = DAG([("y", "x")], roles={"exposure": "x", "outcome": "y"})
+        out, success = Adjustment(variant="minimal_variance").identify(dag)
+        assert not success
+
+    def test_latent_in_o_set_fails(self):
+        dag = DAG([("x", "y"), ("u", "y")], latents=["u"],
+                  roles={"exposure": "x", "outcome": "y"})
+        out, success = Adjustment(variant="minimal_variance").identify(dag)
+        assert not success
+
+    def test_o_set_reduces_estimator_variance(self):
+        # empirical: OLS ATE of X on Y adjusting for the O-set has smaller
+        # sampling variance than the (valid) empty minimal set
+        rng = np.random.default_rng(0)
+        ates_empty, ates_oset = [], []
+        for _ in range(120):
+            n = 400
+            z = rng.normal(size=n)
+            x = rng.normal(size=n)
+            y = 1.5 * x + 2.0 * z + rng.normal(size=n)
+            # ATE via OLS without / with the precision variable z
+            Xe = np.column_stack([np.ones(n), x])
+            ates_empty.append(np.linalg.lstsq(Xe, y, rcond=None)[0][1])
+            Xo = np.column_stack([np.ones(n), x, z])
+            ates_oset.append(np.linalg.lstsq(Xo, y, rcond=None)[0][1])
+        assert np.var(ates_oset) < 0.5 * np.var(ates_empty)

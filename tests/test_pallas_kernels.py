@@ -5,6 +5,10 @@ import jax.numpy as jnp
 
 from pgmpy_tpu.ops.pallas_kernels import weighted_bincount, weighted_bincount_pallas
 
+# numeric golden module: re-runs on the real chip in the TPU parity lane
+# (the Pallas one-hot MXU kernel only actually compiles there)
+pytestmark = pytest.mark.tpu
+
 
 class TestWeightedBincount:
     def _case(self, n=5000, length=300, seed=0):
