@@ -81,10 +81,14 @@ def _power_divergence_stat(table, lam):
     """Summed power-divergence statistic + dof over all Z slices at once
     (vectorized over the (cx, cy, nz) tensor — no per-Z Python loop).
 
-    Per slice, zero rows/columns are masked out (the reference strips them
-    before ``scipy.stats.chi2_contingency``); slices whose stripped table is
-    smaller than 2x2 contribute nothing.  dof per kept slice is
-    (nnz_rows-1)(nnz_cols-1), exactly scipy's for the stripped table.
+    Per slice, zero rows/columns are masked out (the reference's per-slice
+    ``np.unique`` tables only contain observed states,
+    ``CITests.py:470-493``); slices whose observed table is smaller than
+    2x2 contribute nothing.  dof per kept slice is
+    (nnz_rows-1)(nnz_cols-1), exactly scipy's.  Slices with dof == 1 get
+    scipy's default Yates continuity correction (observed pulled toward
+    expected by min(0.5, |E-O|)) — the reference calls
+    ``chi2_contingency`` WITHOUT ``correction=False``.
 
     Runs host-side in float64 on purpose: the O(n_rows) work is the device
     count kernel in ``_contingency``; the statistic itself is a tiny
@@ -102,6 +106,13 @@ def _power_divergence_stat(table, lam):
         valid = (nnz_r >= 2) & (nnz_c >= 2)
         E = row * col / np.where(tot > 0, tot, 1.0)[None, None, :]
         mask = E > 0  # cells of the stripped table; E>0 there by construction
+        dof_z = (nnz_r - 1) * (nnz_c - 1)
+        # Yates continuity correction on 2x2 (dof==1) slices, scipy default
+        yates = (dof_z == 1)[None, None, :] & mask
+        diff = E - O
+        O = np.where(
+            yates, O + np.sign(diff) * np.minimum(0.5, np.abs(diff)), O
+        )
         Esafe = np.where(mask, E, 1.0)
         Osafe = np.where(O > 0, O, 1.0)
         if lam == 1.0:  # pearson
@@ -118,7 +129,6 @@ def _power_divergence_stat(table, lam):
             terms = 2.0 / (lam * (lam + 1.0)) * O * ((O / Esafe) ** lam - 1.0)
         terms = np.where(mask, terms, 0.0)
         stat_z = terms.sum(axis=(0, 1))
-        dof_z = (nnz_r - 1) * (nnz_c - 1)
         stat = np.where(valid, stat_z, 0.0).sum()
         dof = int(np.where(valid, dof_z, 0).sum())
     return stat, dof

@@ -76,8 +76,15 @@ class K2(StructureScore):
         var_card = counts.shape[0]
         counts_with_alpha = counts + 1.0
         col_sums = counts_with_alpha.sum(axis=0)
+        # Parity quirk (ref StructureScore.py:346-380): the reference drops
+        # all-zero parent configurations from the conditional term
+        # (reindex=False, zero-column adjustment commented out there) but
+        # still adds lgamma(r) for EVERY parent configuration — so an
+        # unobserved configuration nets +lgamma(r) instead of 0.
+        observed = counts.sum(axis=0) > 0
         score = float(
-            np.sum(gammaln(counts_with_alpha)) - np.sum(gammaln(col_sums))
+            np.sum(gammaln(counts_with_alpha))
+            - np.sum(gammaln(col_sums[observed]))
         )
         score += counts.shape[1] * float(gammaln(var_card))
         return score

@@ -480,8 +480,8 @@ class VariableElimination(Inference):
         if not evidence:
             raise ValueError("query_batch requires evidence; use query() otherwise")
         ev_vars = sorted(evidence.keys(), key=str)
-        run, state_names, code_maps = self.batch_query_program(
-            list(variables), ev_vars
+        run, state_names, code_maps = self._get_batch_program(
+            tuple(variables), tuple(ev_vars)
         )
         codes = np.empty((len(next(iter(evidence.values()))), len(ev_vars)), np.int32)
         for k, var in enumerate(ev_vars):
@@ -491,6 +491,30 @@ class VariableElimination(Inference):
             ]
         values = run(jnp.asarray(codes))
         return values, state_names
+
+    def _get_batch_program(self, variables, ev_vars):
+        """Per-signature cache for :meth:`batch_query_program` (jitted run),
+        token-checked and LRU-bounded like ``_get_compiled_query`` — predict
+        calls query_batch repeatedly with the same signature and must not
+        rebuild + retrace the program per call."""
+        import jax
+
+        from pgmpy_tpu.utils.cache import LRUDict
+
+        token = self.model._cache_token()
+        cache = self.model.__dict__.get("_ve_batch_program_cache")
+        if cache is None or cache[0] != token:
+            cache = (token, LRUDict(max_size=64))
+            self.model.__dict__["_ve_batch_program_cache"] = cache
+        key = (tuple(variables), tuple(ev_vars))
+        entry = cache[1].get(key)
+        if entry is None:
+            run, state_names, code_maps = self.batch_query_program(
+                list(variables), list(ev_vars)
+            )
+            entry = (jax.jit(run), state_names, code_maps)
+            cache[1][key] = entry
+        return entry
 
     def batch_query_program(self, variables, ev_vars):
         """Build the device program behind :meth:`query_batch`: a pure

@@ -41,9 +41,9 @@ def _scipy_loop_oracle(X, Y, Z, data, lambda_):
         sub = sub[sub.sum(axis=1) > 0][:, sub.sum(axis=0) > 0]
         if sub.shape[0] < 2 or sub.shape[1] < 2:
             continue
-        chi, _, dof, _ = stats.chi2_contingency(
-            sub, lambda_=lambda_, correction=False
-        )
+        # default correction=True: the reference calls chi2_contingency
+        # without correction=False, so Yates applies on dof==1 slices
+        chi, _, dof, _ = stats.chi2_contingency(sub, lambda_=lambda_)
         stat_total += chi
         dof_total += dof
     if dof_total == 0:

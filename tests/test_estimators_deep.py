@@ -66,8 +66,8 @@ class TestCITests:
     def test_marginal_chi2_matches_scipy(self, chain_data):
         chi, p, dof = chi_square("A", "B", [], chain_data, boolean=False)
         table = pd.crosstab(chain_data["A"], chain_data["B"])
-        want_chi, want_p, want_dof, _ = stats.chi2_contingency(
-            table, correction=False)
+        # reference semantics: chi2_contingency default Yates correction
+        want_chi, want_p, want_dof, _ = stats.chi2_contingency(table)
         assert chi == pytest.approx(want_chi, rel=1e-6)
         assert p == pytest.approx(want_p, abs=1e-9)
         assert dof == want_dof
@@ -80,7 +80,7 @@ class TestCITests:
             table = pd.crosstab(grp["A"], grp["C"])
             if table.shape[0] < 2 or table.shape[1] < 2:
                 continue
-            c, _, d, _ = stats.chi2_contingency(table, correction=False)
+            c, _, d, _ = stats.chi2_contingency(table)
             want_chi += c
             want_dof += d
         assert chi == pytest.approx(want_chi, rel=1e-6)
@@ -91,7 +91,7 @@ class TestCITests:
         g, p, dof = g_sq("B", "C", [], chain_data, boolean=False)
         table = pd.crosstab(chain_data["B"], chain_data["C"])
         want_g, want_p, want_dof, _ = stats.chi2_contingency(
-            table, correction=False, lambda_="log-likelihood")
+            table, lambda_="log-likelihood")
         assert g == pytest.approx(want_g, rel=1e-6)
         assert dof == want_dof
 

@@ -166,3 +166,34 @@ class TestPredict:
         p1 = model.predict(data, stochastic=True, seed=42)
         p2 = model.predict(data, stochastic=True, seed=42)
         assert p1.equals(p2)
+
+    def test_batch_program_cached_across_predict_calls(self):
+        # r3 perf fix: query_batch must reuse its compiled per-signature
+        # program instead of rebuilding + retracing per predict call
+        from unittest import mock
+
+        from pgmpy_tpu.inference.ve import VariableElimination
+
+        model = student_bn()
+        data = pd.DataFrame({"grade": [0, 1, 2], "SAT": [1, 0, 1],
+                             "letter": [1, 0, 1], "diff": [0, 1, 0]})
+        with mock.patch.object(
+            VariableElimination, "batch_query_program",
+            side_effect=VariableElimination.batch_query_program,
+            autospec=True,
+        ) as spy:
+            model.predict(data)
+            model.predict(data)
+            model.predict(data)
+        assert spy.call_count == 1
+        # model edits invalidate the cache
+        cpd = model.get_cpds("SAT")
+        model.remove_cpds(cpd)
+        model.add_cpds(cpd)
+        with mock.patch.object(
+            VariableElimination, "batch_query_program",
+            side_effect=VariableElimination.batch_query_program,
+            autospec=True,
+        ) as spy:
+            model.predict(data)
+        assert spy.call_count == 1
