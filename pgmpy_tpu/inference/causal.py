@@ -498,22 +498,46 @@ class CausalInference:
                 variables, evidence={**evidence, **do}, show_progress=show_progress
             )
 
-        # P(z | evidence)
-        p_z = infer.query(adjustment_set, evidence=evidence, show_progress=show_progress)
-        states = [p_z.state_names[z] for z in adjustment_set]
+        # Adjustment weights.  Reference semantics
+        # (ref CausalInference.py:1086-1143): evidence variables inside the
+        # adjustment set are PINNED to their observed state and the weight
+        # factor is the (unnormalized) reduced marginal; evidence outside
+        # the adjustment set conditions only the weights, and the inner
+        # queries use {do, z} alone — the trailing normalize fixes scale.
+        evidence_adj_inter = {
+            v: s for v, s in evidence.items() if v in set(adjustment_set)
+        }
+        if evidence_adj_inter:
+            p_z = infer.query(
+                adjustment_set, show_progress=show_progress
+            ).reduce(list(evidence_adj_inter.items()), inplace=False)
+        else:
+            p_z = infer.query(
+                adjustment_set, evidence=evidence, show_progress=show_progress
+            )
+
+        adj_states = []
+        for var in adjustment_set:
+            if var in evidence_adj_inter:
+                adj_states.append([evidence_adj_inter[var]])
+            else:
+                adj_states.append(list(self.model.get_cpds(var).state_names[var]))
+
+        p_z_vars = list(p_z.variables)
+        p_z_arr = np.asarray(p_z.values)
         values = None
         result_factor = None
-        p_z_arr = np.asarray(p_z.values)
-        for combo_idx, combo in enumerate(itertools.product(*[range(len(s)) for s in states])):
-            z_evidence = {
-                z: p_z.state_names[z][i] for z, i in zip(adjustment_set, combo)
-            }
-            weight = float(p_z_arr[tuple(combo)])
+        for combo in itertools.product(*adj_states):
+            z_evidence = dict(zip(adjustment_set, combo))
+            idx = tuple(
+                p_z.get_state_no(v, z_evidence[v]) for v in p_z_vars
+            )
+            weight = float(p_z_arr[idx])
             if weight == 0.0:
                 continue
             q = infer.query(
                 variables,
-                evidence={**evidence, **do, **z_evidence},
+                evidence={**do, **z_evidence},
                 show_progress=show_progress,
             )
             contrib = np.asarray(q.values) * weight
