@@ -275,23 +275,44 @@ class DAG(GraphRolesMixin, nx.DiGraph):
         )[start]
 
     def minimal_dseparator(self, start, end, include_latents=False):
-        """A minimal separating set between start and end, or None."""
+        """A minimal separating set between start and end, or None.
+
+        Reference algorithm (ref DAG.py:753-848): start from the union of
+        the two nodes' parents (lifting latent parents to their own
+        parents), then greedily drop members that are not needed, checking
+        d-connection on the ancestral graph.  The result is an
+        inclusion-minimal separator drawn from the parent sets — possibly
+        larger than the globally smallest separator, matching the
+        reference's outputs for implied_cis / adjustment identification.
+        """
         if self.has_edge(start, end) or self.has_edge(end, start):
             raise ValueError("No possible separators because start and end are adjacent")
-        sep = nx.find_minimal_d_separator(self, {start}, {end})
-        if sep is None:
+        an_graph = self.get_ancestral_graph([start, end])
+        separator = set(
+            itertools.chain(self.predecessors(start), self.predecessors(end))
+        )
+        if not include_latents:
+            # replace latent parents by THEIR parents until observed
+            while separator & self.latents:
+                lifted = separator.copy()
+                for u in separator:
+                    if u in self.latents:
+                        lifted.discard(u)
+                        lifted.update(self.predecessors(u))
+                separator = lifted
+        separator -= {start, end}
+        if an_graph.is_dconnected(start, end, observed=separator):
             return None
-        if not include_latents and (sep & self.latents):
-            # search for a separator avoiding latents: restrict to the
-            # ancestral graph and try separators over observed nodes only
-            an_graph = self.get_ancestral_graph([start, end])
-            candidates = set(an_graph.nodes()) - {start, end} - self.latents
-            for r in range(len(candidates) + 1):
-                for cand in itertools.combinations(sorted(candidates, key=str), r):
-                    if nx.is_d_separator(self, {start}, {end}, set(cand)):
-                        return set(cand)
-            return None
-        return sep
+        minimal_separator = separator.copy()
+        # deterministic (sorted) greedy pass; the reference iterates in set
+        # order, which only differs on pairs with multiple equally-minimal
+        # answers
+        for u in sorted(separator, key=str):
+            if not an_graph.is_dconnected(
+                start, end, observed=minimal_separator - {u}
+            ):
+                minimal_separator.remove(u)
+        return minimal_separator
 
     def active_trail_nodes(self, variables, observed=None, include_latents=False):
         """Bayes-ball reachability (Koller & Friedman Alg. 3.1): nodes with an

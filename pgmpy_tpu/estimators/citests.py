@@ -142,8 +142,13 @@ def _power_divergence(X, Y, Z, data, boolean, significance_level, lambda_):
     stat, dof = _power_divergence_stat(table, lam)
     stat_total, dof_total = float(stat), int(dof)
     if dof_total == 0:
-        p_value = 1.0
         stat_total = 0.0
+        # reference semantics: the conditional path computes
+        # 1 - chi2.cdf(0, df=0) = NaN (every slice degenerate -> the
+        # boolean test comes out "dependent", keeping the edge), while the
+        # unconditional path goes through scipy.chi2_contingency which
+        # returns p=1.0 for a 1xk table (ref CITests.py:458-493)
+        p_value = float("nan") if len(Z) > 0 else 1.0
     else:
         p_value = float(stats.chi2.sf(stat_total, dof_total))
     if boolean:

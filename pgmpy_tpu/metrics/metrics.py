@@ -27,24 +27,37 @@ def correlation_score(
     from pgmpy_tpu.estimators.citests import get_callable_ci_test
     from pgmpy_tpu.models.discrete_bn import DiscreteBayesianNetwork
 
+    from pgmpy_tpu.base.dag import DAG
+
     if score is None:
         score = f1_score
     test_fn = get_callable_ci_test(test)
-    if not isinstance(model, DiscreteBayesianNetwork):
-        raise ValueError(f"model must be a DiscreteBayesianNetwork. Got {type(model)}")
+    if not isinstance(model, DAG):
+        raise ValueError(
+            f"model must be a DAG or DiscreteBayesianNetwork. Got {type(model)}"
+        )
     if set(model.nodes()) != set(data.columns):
         raise ValueError("Missing columns in data. Can't be used for testing.")
 
+    # reference semantics (ref metrics.py:140-162): truth = the marginal CI
+    # test's independence verdict, prediction = d-SEPARATION in the model;
+    # absence of correlation/d-connection is the positive class
     results = []
     for i, j in itertools.combinations(model.nodes(), 2):
-        edge_present = model.has_edge(i, j) or model.has_edge(j, i)
-        dependent = not test_fn(
+        test_result = test_fn(
             i, j, [], data, boolean=True, significance_level=significance_level
         )
-        results.append({"var1": i, "var2": j, "structure": edge_present, "statistic": dependent})
+        d_separated = not model.is_dconnected(i, j)
+        results.append(
+            {"var1": i, "var2": j, "stat_test": test_result,
+             "d_connected": d_separated}
+        )
     results = pd.DataFrame(results)
     metric = float(
-        score(y_true=results["structure"].to_numpy(), y_pred=results["statistic"].to_numpy())
+        score(
+            y_true=results["stat_test"].to_numpy(),
+            y_pred=results["d_connected"].to_numpy(),
+        )
     )
     if return_summary:
         return results
@@ -110,7 +123,10 @@ def fisher_c(model, data, ci_test, compute_rmsea=False, show_progress=True):
         out = test_fn(u, v, sorted(Z, key=str), data, boolean=False)
         p_values.append(out[1])
     p_values = np.clip(np.asarray(p_values, dtype=np.float64), 1e-6, None)
-    C = -2 * np.log(p_values).sum()
+    # reference quirk (ref metrics.py:456-460): p-values of fully-degenerate
+    # CI tests are NaN and pandas' .sum() silently skips them, while the
+    # chi2 dof still counts every pair — mirror with nansum
+    C = -2 * float(np.nansum(np.log(p_values)))
     p_value = float(1 - stats.chi2.cdf(C, df=2 * len(p_values)))
     if compute_rmsea:
         rmsea = np.nan

@@ -32,8 +32,15 @@ if not TPU_LANE:
     jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: op-by-op dispatch on tiny factors compiles
-# each unique shape once; cache it across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/pgmpy_tpu_jax_cache")
+# each unique shape once; cache it across test runs.  The CPU lane gets its
+# OWN cache dir: the forced-host (8 virtual device) CPU backend detects
+# different machine features than plain processes, and cross-loading those
+# AOT entries triggers "machine type mismatch ... could lead to execution
+# errors" (observed as order-dependent wrong results in r3).
+if TPU_LANE:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pgmpy_tpu_jax_cache")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pgmpy_tpu_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

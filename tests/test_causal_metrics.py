@@ -246,10 +246,22 @@ class TestMetrics:
         assert SHD(d1, d3) == 1
 
     def test_correlation_score(self):
+        # reference semantics: truth = marginal CI verdicts, prediction =
+        # d-SEPARATION; a model with a disconnected, genuinely independent
+        # node should score perfectly, while claiming an edge to it drops
+        # the score
         model = confounded_model()
+        model.add_node("w")
+        model.add_cpds(TabularCPD("w", 2, [[0.5], [0.5]]))
         df = model.simulate(n_samples=4000, seed=2, show_progress=False)
         score = correlation_score(model, df, test="chi_square")
-        assert score > 0.7
+        assert score == 1.0
+        # a wrong structure connecting w scores strictly worse
+        from pgmpy_tpu.base import DAG
+
+        bad = DAG([("z", "x"), ("z", "y"), ("x", "y"), ("w", "x")])
+        bad_score = correlation_score(bad, df, test="chi_square")
+        assert bad_score < score
 
     def test_fisher_c(self):
         model = DiscreteBayesianNetwork([("a", "b"), ("b", "c")])

@@ -233,10 +233,16 @@ class TestMetrics:
         assert got == pytest.approx(want, rel=1e-9)
 
     def test_correlation_score_good_model(self, data):
+        # correlation_score's positive class is marginal d-SEPARATION
+        # (reference metrics.py:140-162); a chain d-connects every pair,
+        # so discriminate with an added independent node instead
         model = _chain_model()
-        score = correlation_score(model, data, test="chi_square",
+        model.add_node("W")
+        model.add_cpds(TabularCPD("W", 2, [[0.5], [0.5]]))
+        df = model.simulate(n_samples=4000, seed=0, show_progress=False)
+        score = correlation_score(model, df, test="chi_square",
                                   significance_level=0.05)
-        assert score >= 0.7  # implied CIs should mostly hold
+        assert score == 1.0
 
     def test_implied_cis_dataframe(self, data):
         model = _chain_model()
