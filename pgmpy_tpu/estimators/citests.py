@@ -206,33 +206,37 @@ def _as_float_column(col):
     return col.to_numpy(dtype=np.float64)
 
 
-def _residualize(target, Z, data):
+def _residualize(target, Z, data, intercept=True):
+    """Least-squares residuals of ``target`` on Z, host float64.  These
+    regressions are tiny and sit inside host search loops — device
+    dispatch would dominate and f32 costs ~7 digits of test-statistic
+    parity.  Categorical columns are integer-coded (the reference
+    float-coerces and crashes on strings)."""
     y = _as_float_column(data[target])
     if not Z:
-        return y - y.mean()
-    X = np.column_stack(
-        [np.ones(len(y))] + [_as_float_column(data[z]) for z in Z]
-    )
-    beta, _, _, _ = jnp.linalg.lstsq(jnp.asarray(X), jnp.asarray(y))
-    return y - X @ np.asarray(beta, dtype=np.float64)
+        return y - y.mean() if intercept else y
+    cols = [_as_float_column(data[z]) for z in Z]
+    if intercept:
+        cols = [np.ones(len(y))] + cols
+    X = np.column_stack(cols)
+    beta, _, _, _ = np.linalg.lstsq(X, y, rcond=None)
+    return y - X @ beta
 
 
 def pearsonr(X, Y, Z, data, boolean=True, significance_level=0.05, **kwargs):
-    """Partial correlation: Pearson r of the Z-residuals with a t-test."""
+    """Partial correlation: Pearson r of the Z-residuals.
+
+    Matches the reference numerics (``CITests.py:502-572``): the
+    residualization has NO intercept column, and the p-value is scipy's
+    plain two-sided Pearson test on the residuals (n-2 dof, not adjusted
+    for |Z|)."""
     Z = list(Z)
-    rx = _residualize(X, Z, data)
-    ry = _residualize(Y, Z, data)
-    r = float(np.corrcoef(rx, ry)[0, 1])
-    n = len(rx)
-    dof = n - len(Z) - 2
-    if abs(r) >= 1.0:
-        p_value = 0.0
-    else:
-        t = r * np.sqrt(dof / (1 - r**2))
-        p_value = float(2 * stats.t.sf(np.abs(t), dof))
+    rx = _residualize(X, Z, data, intercept=False)
+    ry = _residualize(Y, Z, data, intercept=False)
+    r, p_value = stats.pearsonr(rx, ry)
     if boolean:
         return p_value >= significance_level
-    return r, p_value
+    return float(r), float(p_value)
 
 
 def _feature_matrix(Z, data):

@@ -26,12 +26,15 @@ class HillClimbSearch(StructureEstimator):
     ):
         tabu_set = set(tabu_list)
 
-        # additions
-        potential_new_edges = (
-            set(itertools.permutations(self.variables, 2))
-            - set(model.edges())
-            - {(Y, X) for X, Y in model.edges()}
-        )
+        # additions — iterate in sorted order so score ties break
+        # deterministically (the reference iterates a python set here,
+        # which makes its tie-breaks hash-order dependent across runs)
+        present = set(model.edges()) | {(Y, X) for X, Y in model.edges()}
+        potential_new_edges = [
+            e
+            for e in itertools.permutations(self.variables, 2)
+            if e not in present
+        ]
         for X, Y in potential_new_edges:
             if nx.has_path(model, Y, X):
                 continue

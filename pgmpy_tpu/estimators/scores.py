@@ -96,18 +96,32 @@ class BDeu(StructureScore):
         super().__init__(data, **kwargs)
 
     def local_score(self, variable, parents):
+        # Mirrors the reference's expression tree exactly
+        # (StructureScore.py BDeu.local_score): greedy searches decide
+        # near-symmetric orientations on ~1e-14 score differences, so the
+        # summation must be restricted to OBSERVED parent configurations
+        # with closed-form adjustments for the dropped zero columns —
+        # otherwise HillClimb/MMHC trajectories diverge from the reference.
+        from math import lgamma
+
         counts = self._coded.counts(variable, list(parents)).astype(np.float64)
         var_card, n_configs = counts.shape
+        col_sums = np.sum(counts, axis=0, dtype=float)
+        observed = counts[:, col_sums > 0]
+        m = observed.shape[1]
         alpha = self.equivalent_sample_size / n_configs
         beta = self.equivalent_sample_size / counts.size
-        col_sums = counts.sum(axis=0)
-        score = float(
-            np.sum(gammaln(counts + beta))
-            - n_configs * var_card * gammaln(beta)
-            + n_configs * gammaln(alpha)
-            - np.sum(gammaln(col_sums + alpha))
+        log_gamma_counts = gammaln(observed + beta)
+        log_gamma_conds = gammaln(np.sum(observed, axis=0, dtype=float) + alpha)
+        gamma_counts_adj = (n_configs - m) * var_card * gammaln(beta)
+        gamma_conds_adj = (n_configs - m) * gammaln(alpha)
+        score = (
+            (np.sum(log_gamma_counts) + gamma_counts_adj)
+            - (np.sum(log_gamma_conds) + gamma_conds_adj)
+            + n_configs * lgamma(alpha)
+            - counts.size * lgamma(beta)
         )
-        return score
+        return float(score)
 
 
 class BDs(BDeu):
@@ -186,25 +200,33 @@ BDsScore = BDs
 
 
 class _GaussBase(StructureScore):
-    """Gaussian local scores from linear-regression residuals (jnp lstsq)."""
+    """Gaussian local scores from linear-regression residuals.
+
+    Numerics match the reference's ``smf.glm(...).fit()`` Gaussian GLM
+    (``StructureScore.py:960-1001``): the log-likelihood is evaluated at
+    the dispersion estimate ``scale = RSS / df_resid`` (not the MLE
+    ``RSS / n``), and ``df_model`` is the regressor count excluding the
+    intercept.  The regressions are tiny and sit inside host-side search
+    loops, so they run on host numpy — per-op device dispatch would
+    dominate by orders of magnitude.
+    """
 
     def _residual_ll(self, variable, parents):
-        import jax.numpy as jnp
-
         y = self.data[variable].to_numpy(dtype=np.float64)
         n = y.shape[0]
-        if parents:
-            X = np.column_stack(
-                [np.ones(n)] + [self.data[p].to_numpy(dtype=np.float64) for p in parents]
-            )
-            beta, _, _, _ = jnp.linalg.lstsq(jnp.asarray(X), jnp.asarray(y))
-            resid = y - X @ np.asarray(beta)
-        else:
-            resid = y - y.mean()
-        sigma2 = max(float(np.mean(resid**2)), 1e-12)
-        ll = -0.5 * n * (np.log(2 * np.pi * sigma2) + 1)
-        k = len(parents) + 2  # intercept + coefficients + variance
-        return ll, k, n
+        X = np.column_stack(
+            [np.ones(n)]
+            + [self.data[p].to_numpy(dtype=np.float64) for p in parents]
+        )
+        beta, _, rank, _ = np.linalg.lstsq(X, y, rcond=None)
+        resid = y - X @ beta
+        ssr = float(resid @ resid)
+        df_resid = n - rank
+        if df_resid <= 0 or ssr <= 0:
+            return np.inf, int(rank - 1), n
+        scale = ssr / df_resid
+        ll = -0.5 * (ssr / scale + n * np.log(2 * np.pi * scale))
+        return ll, int(rank - 1), n
 
 
 class LogLikelihoodGauss(_GaussBase):
@@ -215,163 +237,174 @@ class LogLikelihoodGauss(_GaussBase):
 
 class BICGauss(_GaussBase):
     def local_score(self, variable, parents):
-        ll, k, n = self._residual_ll(variable, list(parents))
-        return ll - 0.5 * k * np.log(max(n, 1))
+        # df_model + 2: coefficients excl. intercept, plus intercept and
+        # the variance parameter (reference StructureScore.py:1108-1113)
+        ll, df_model, n = self._residual_ll(variable, list(parents))
+        return ll - 0.5 * (df_model + 2) * np.log(max(n, 1))
 
 
 class AICGauss(_GaussBase):
     def local_score(self, variable, parents):
-        ll, k, n = self._residual_ll(variable, list(parents))
-        return ll - k
+        ll, df_model, _ = self._residual_ll(variable, list(parents))
+        return ll - (df_model + 2)
+
+
+def _infer_column_kinds(df):
+    """Column kind map with the reference's ``preprocess_data`` semantics
+    (``utils/utils.py:407-452``): numeric (incl. integer) columns are 'N',
+    unordered categoricals/objects 'C', ordered categoricals 'O'."""
+    kinds = {}
+    for col in df.columns:
+        s = df[col]
+        if pd.api.types.is_numeric_dtype(s):
+            kinds[col] = "N"
+        elif isinstance(s.dtype, pd.CategoricalDtype):
+            kinds[col] = "O" if s.dtype.ordered else "C"
+        else:
+            kinds[col] = "C"
+    return kinds
 
 
 class _CondGaussBase(StructureScore):
-    """Conditional-linear-Gaussian local scores for MIXED data
-    (reference: ``StructureScore.py:1192-1737``).
-
-    * continuous child: per discrete-parent configuration, a linear
-      regression on the continuous parents (jnp lstsq residuals).
-    * discrete child with continuous parents: multinomial logistic
-      regression fitted with a few optax steps.
-    * discrete child with only discrete parents: the plain discrete LL.
+    """Conditional-Gaussian local scores for MIXED data — the CG score of
+    Andrews, Ramsey & Cooper (2018), matching the reference numerics
+    (``StructureScore.py:1192-1737``): density ratios of (possibly
+    singular) multivariate normals fitted per discrete-parent
+    configuration from pandas sample covariances, with the identity
+    covariance substituted when a configuration has fewer rows than
+    columns.  These are tiny host regressions inside search loops, so
+    they run on host numpy/scipy — device dispatch would dominate.
     """
 
-    def _split_parents(self, parents):
-        disc, cont = [], []
-        for p in parents:
-            if pd.api.types.is_float_dtype(self.data[p]):
-                cont.append(p)
-            else:
-                disc.append(p)
-        return disc, cont
+    @property
+    def _kinds(self):
+        if not hasattr(self, "_kinds_cache"):
+            self._kinds_cache = _infer_column_kinds(self.data)
+        return self._kinds_cache
 
-    def _ll_continuous_child(self, variable, disc_parents, cont_parents):
-        import itertools as it
-
-        import jax.numpy as jnp
-
-        y_all = self.data[variable].to_numpy(dtype=np.float64)
-        n = len(y_all)
-        if disc_parents:
-            groups = self.data.groupby(disc_parents, observed=True).indices
-        else:
-            groups = {None: np.arange(n)}
-        # pooled (parent-free) model: fallback scorer for configurations too
-        # small to fit a regression, so every candidate parent set is scored
-        # on the same n rows — otherwise fragmenting parents silently drop
-        # (typically negative) terms and get inflated LL (ADVICE r1)
-        pooled_mean = float(y_all.mean()) if n else 0.0
-        pooled_sigma2 = max(float(np.mean((y_all - pooled_mean) ** 2)), 1e-12) if n else 1.0
-        ll = 0.0
-        k = 0
-        for _, idx in groups.items():
-            y = y_all[idx]
-            if len(y) < len(cont_parents) + 2:
-                resid = y - pooled_mean
-                ll += -0.5 * (
-                    len(y) * np.log(2 * np.pi * pooled_sigma2)
-                    + float(np.sum(resid**2)) / pooled_sigma2
-                )
-                k += len(cont_parents) + 2
-                continue
-            if cont_parents:
-                X = np.column_stack(
-                    [np.ones(len(idx))]
-                    + [
-                        self.data[p].to_numpy(dtype=np.float64)[idx]
-                        for p in cont_parents
-                    ]
-                )
-                beta, _, _, _ = jnp.linalg.lstsq(jnp.asarray(X), jnp.asarray(y))
-                resid = y - X @ np.asarray(beta)
-            else:
-                resid = y - y.mean()
-            sigma2 = max(float(np.mean(resid**2)), 1e-12)
-            ll += -0.5 * len(y) * (np.log(2 * np.pi * sigma2) + 1)
-            k += len(cont_parents) + 2
-        return ll, k, n
-
-    def _ll_discrete_child(self, variable, disc_parents, cont_parents):
-        n = self.data.shape[0]
-        if not cont_parents:
-            ll = LogLikeliHood.local_score(self, variable, disc_parents)
-            counts = self._coded.counts(variable, list(disc_parents))
-            k = counts.shape[1] * (counts.shape[0] - 1)
-            return ll, k, n
-        # multinomial logistic regression of the child on [continuous
-        # parents + one-hot discrete parents]
-        import jax
-        import jax.numpy as jnp
-        import optax
-
-        names = self._coded.state_names[variable]
-        card = len(names)
-        y = jnp.asarray(
-            self.data[variable]
-            .map({s: i for i, s in enumerate(names)})
-            .to_numpy(dtype=np.int32)
-        )
-        feats = [np.ones(n)]
-        feats += [self.data[p].to_numpy(dtype=np.float64) for p in cont_parents]
-        for p in disc_parents:
-            p_names = self._coded.state_names[p]
-            codes = self.data[p].map({s: i for i, s in enumerate(p_names)}).to_numpy()
-            onehot = np.eye(len(p_names))[codes][:, 1:]  # drop baseline
-            feats.append(onehot)
-        X = jnp.asarray(np.column_stack(feats))
-        d = X.shape[1]
-        W0 = jnp.zeros((d, card))
-
-        def nll(W):
-            logits = X @ W
-            return -jnp.sum(
-                jax.nn.log_softmax(logits, axis=1)[jnp.arange(n), y]
+    @staticmethod
+    def _safe_cov(df):
+        # identity when the configuration cannot support a covariance
+        # estimate; tiny global jitter when near-singular (reference
+        # `_adjusted_cov`, StructureScore.py:1243-1284)
+        if df.shape[0] == 1 or df.shape[0] < df.shape[1]:
+            return pd.DataFrame(
+                np.eye(df.shape[1]), index=df.columns, columns=df.columns
             )
+        cov = df.cov()
+        if np.any(np.isclose(np.linalg.eig(cov)[0], 0)):
+            cov = cov + 1e-6
+        return cov
 
-        tx = optax.adam(0.1)
-        state = tx.init(W0)
-        W = W0
+    @staticmethod
+    def _mvn_pdf(x_rows, fit_rows):
+        from scipy.stats import multivariate_normal
 
-        @jax.jit
-        def step(W, state):
-            loss, grads = jax.value_and_grad(nll)(W)
-            updates, state = tx.update(grads, state, W)
-            return optax.apply_updates(W, updates), state, loss
+        return multivariate_normal.pdf(
+            x=x_rows,
+            mean=fit_rows.mean(axis=0),
+            cov=_CondGaussBase._safe_cov(fit_rows),
+            allow_singular=True,
+        )
 
-        prev = None
-        for _ in range(300):
-            W, state, loss = step(W, state)
-            loss = float(loss)
-            if prev is not None and abs(prev - loss) < 1e-4:
-                break
-            prev = loss
-        k = d * (card - 1)
-        return -loss, k, n
+    def _ll_continuous(self, variable, parents):
+        df = self.data.loc[:, [variable] + parents]
+        cont = [p for p in parents if self._kinds[p] == "N"]
+        disc = list(set(parents) - set(cont))
+        if not disc:
+            joint = self._mvn_pdf(df, df)
+            if not cont:
+                return float(np.sum(np.log(joint)))
+            denom = np.maximum(1e-8, self._mvn_pdf(df.loc[:, cont], df.loc[:, cont]))
+            return float(np.sum(np.log(joint / denom)))
+        total = 0.0
+        for _, grp in df.groupby(disc, observed=True):
+            cols = [variable] + cont
+            joint = self._mvn_pdf(grp.loc[:, cols], grp.loc[:, cols])
+            if cont:
+                denom = np.maximum(
+                    1e-8, self._mvn_pdf(grp.loc[:, cont], grp.loc[:, cont])
+                )
+            else:
+                denom = 1.0
+            total += float(np.sum(np.log(joint / denom)))
+        return total
 
-    def _local(self, variable, parents):
+    def _ll_discrete(self, variable, parents):
+        df = self.data.loc[:, [variable] + parents]
+        cont = [p for p in parents if self._kinds[p] == "N"]
+        disc = list(set(parents) - set(cont))
+        n = df.shape[0]
+        total = 0.0
+        for key, grp in df.groupby([variable] + disc, observed=True):
+            # P(D1=d1, D2=d2): the group's empirical mass, one entry PER ROW
+            # so the log-sum runs over rows even when there are no
+            # continuous parents to supply a density vector
+            p_joint = np.full(grp.shape[0], grp.shape[0] / n)
+            num = self._mvn_pdf(grp.loc[:, cont], grp.loc[:, cont]) if cont else 1.0
+            if not disc:
+                denom_c = (
+                    np.maximum(1e-8, self._mvn_pdf(grp.loc[:, cont], df.loc[:, cont]))
+                    if cont
+                    else 1.0
+                )
+                total += float(np.sum(np.log(num * p_joint / denom_c)))
+            else:
+                states = key[1:] if isinstance(key, tuple) else ()
+                sub = df
+                for var, st in zip(disc, states):
+                    sub = sub.loc[sub[var] == st]
+                denom_c = (
+                    np.maximum(1e-8, self._mvn_pdf(grp.loc[:, cont], sub.loc[:, cont]))
+                    if cont
+                    else 1.0
+                )
+                p_d2 = sub.shape[0] / n
+                total += float(np.sum(np.log(num * p_joint / (denom_c * p_d2))))
+        return total
+
+    def _cg_log_likelihood(self, variable, parents):
         parents = list(parents)
-        disc_parents, cont_parents = self._split_parents(parents)
-        if pd.api.types.is_float_dtype(self.data[variable]):
-            return self._ll_continuous_child(variable, disc_parents, cont_parents)
-        return self._ll_discrete_child(variable, disc_parents, cont_parents)
+        if self._kinds[variable] == "N":
+            return self._ll_continuous(variable, parents)
+        return self._ll_discrete(variable, parents)
+
+    def _num_parameters(self, variable, parents):
+        # reference `_get_num_parameters` (StructureScore.py:1318-1365)
+        kinds = self._kinds
+        n_cont = sum(1 for p in parents if kinds[p] == "N")
+        k_disc = 1
+        for p in parents:
+            if kinds[p] != "N":
+                n_states = self.data[p].nunique()
+                if n_states > 1:
+                    k_disc *= n_states
+        if kinds[variable] == "N":
+            return k_disc * (n_cont + 2)
+        card = self.data[variable].nunique()
+        if n_cont == 0:
+            return k_disc * (card - 1)
+        return k_disc * (card - 1) * (n_cont + 2)
 
 
 class LogLikelihoodCondGauss(_CondGaussBase):
     def local_score(self, variable, parents):
-        ll, _, _ = self._local(variable, parents)
-        return ll
+        return self._cg_log_likelihood(variable, list(parents))
 
 
 class BICCondGauss(_CondGaussBase):
     def local_score(self, variable, parents):
-        ll, k, n = self._local(variable, parents)
-        return ll - 0.5 * k * np.log(max(n, 1))
+        parents = list(parents)
+        ll = self._cg_log_likelihood(variable, parents)
+        k = self._num_parameters(variable, parents)
+        return ll - 0.5 * k * np.log(self.data.shape[0])
 
 
 class AICCondGauss(_CondGaussBase):
     def local_score(self, variable, parents):
-        ll, k, n = self._local(variable, parents)
-        return ll - k
+        parents = list(parents)
+        ll = self._cg_log_likelihood(variable, parents)
+        return ll - self._num_parameters(variable, parents)
 
 
 class ScoreCache(StructureScore):

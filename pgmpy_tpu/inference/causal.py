@@ -76,6 +76,11 @@ class CausalInference:
             self.is_valid_backdoor_adjustment_set(X, Y)
         except KeyError:
             raise KeyError("X or Y not in model")
+        # reference contract (CausalInference.py:146-210): the empty set
+        # being valid short-circuits to an EMPTY outer frozenset, and
+        # finding no valid set at all raises
+        if self.is_valid_backdoor_adjustment_set(X, Y, Z=frozenset()):
+            return frozenset()
         possible = (
             self.observed_variables
             - {X, Y}
@@ -88,6 +93,8 @@ class CausalInference:
                     continue
                 if self.is_valid_backdoor_adjustment_set(X, Y, Z):
                     valid.append(frozenset(Z))
+        if not valid:
+            raise ValueError(f"No valid adjustment set found for {X} -> {Y}")
         return frozenset(valid)
 
     def is_valid_frontdoor_adjustment_set(self, X, Y, Z=None):

@@ -29,8 +29,9 @@ class LinearEstimator:
             + [sub[c].to_numpy(dtype=np.float64) for c in [X] + Z]
         )
         y = sub[Y].to_numpy(dtype=np.float64)
-        beta, _, _, _ = jnp.linalg.lstsq(jnp.asarray(mat), jnp.asarray(y))
-        beta = np.asarray(beta)
+        # tiny host regression in float64 (device f32 costs ~7 digits of
+        # effect-estimate parity; dispatch would dominate anyway)
+        beta, _, _, _ = np.linalg.lstsq(mat, y, rcond=None)
         self.coef_ = beta
         self.ate = float(beta[1])
         resid = y - mat @ beta

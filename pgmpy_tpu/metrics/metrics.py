@@ -72,8 +72,10 @@ def log_likelihood_score(model, data):
     return BayesianModelProbability(model).score(data)
 
 
-def structure_score(model, data, scoring_method="bic-d", **kwargs):
-    """Structure score (k2/bdeu/bds/bic-d/aic-d/...) of model given data."""
+def structure_score(model, data, scoring_method="bic-g", **kwargs):
+    """Structure score (k2/bdeu/bds/bic-d/aic-d/ll-g/bic-g/...) of model
+    given data.  Default scoring_method matches the reference's
+    (``metrics.py:222``: "bic-g")."""
     from pgmpy_tpu.estimators.scores import get_scoring_method
 
     scorer, _ = get_scoring_method(scoring_method, data, use_cache=False)

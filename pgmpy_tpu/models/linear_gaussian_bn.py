@@ -86,8 +86,8 @@ class LinearGaussianBayesianNetwork(DAG):
         lgbn.get_random_cpds(loc=loc, scale=scale, inplace=True, seed=seed)
         return lgbn
 
-    def to_joint_gaussian(self):
-        """Joint N(mu, Sigma) over a topological order of the variables.
+    def joint_gaussian(self):
+        """(variables, mu, Sigma) over a topological order, unrounded.
 
         mu = (I-B)^-T applied to intercepts; Sigma = (I-B)^-T Omega (I-B)^-1
         with B the (topologically ordered) coefficient matrix and Omega the
@@ -107,56 +107,87 @@ class LinearGaussianBayesianNetwork(DAG):
             for coef, parent in zip(cpd.beta[1:], cpd.evidence):
                 B[var_to_index[parent], i] = coef
 
-        inv = jnp.linalg.inv(jnp.eye(n) - jnp.asarray(B))
-        mean = jnp.asarray(b0) @ inv
-        cov = inv.T @ jnp.diag(jnp.asarray(omega)) @ inv
-        return variables, np.asarray(mean, dtype=np.float64), np.asarray(cov, dtype=np.float64)
+        # tiny n-by-n solve, done once per model version: host float64
+        # (device f32 loses ~7 digits and the tunnel round-trip dominates)
+        inv = np.linalg.inv(np.eye(n) - B)
+        mean = b0 @ inv
+        cov = inv.T @ np.diag(omega) @ inv
+        return variables, mean, cov
+
+    def to_joint_gaussian(self):
+        """Implied joint Gaussian (mean, cov), rounded to 8 decimals, in
+        topological variable order — the reference's public contract
+        (``LinearGaussianBayesianNetwork.py:207-264``).  Use
+        :meth:`joint_gaussian` for the unrounded triple with the order."""
+        _, mean, cov = self.joint_gaussian()
+        return mean.round(decimals=8), cov.round(decimals=8)
 
     def log_likelihood(self, data):
-        """Sum over rows of log N(x; mu, Sigma)."""
-        variables, mean, cov = self.to_joint_gaussian()
-        x = jnp.asarray(data.loc[:, variables].to_numpy(dtype=np.float64))
+        """Sum over rows of log N(x; mu, Sigma) at the PUBLIC (8-decimal
+        rounded) joint parameters — the reference evaluates scipy's
+        ``multivariate_normal.logpdf`` on ``to_joint_gaussian()`` output
+        (``LinearGaussianBayesianNetwork.py:265-302``), so parity requires
+        the same rounding.  Host float64; a one-shot n-by-n factorization.
+        """
+        variables = list(nx.topological_sort(self))
+        mean, cov = self.to_joint_gaussian()
+        x = data.loc[:, variables].to_numpy(dtype=np.float64)
         n = len(variables)
         diff = x - mean
-        chol = jnp.linalg.cholesky(jnp.asarray(cov))
-        sol = jnp.linalg.solve(chol, diff.T)
-        logdet = 2.0 * jnp.sum(jnp.log(jnp.diag(chol)))
+        chol = np.linalg.cholesky(cov)
+        sol = np.linalg.solve(chol, diff.T)
+        logdet = 2.0 * np.sum(np.log(np.diag(chol)))
         ll = -0.5 * (
-            n * np.log(2 * np.pi) + logdet + jnp.sum(sol**2, axis=0)
+            n * np.log(2 * np.pi) + logdet + np.sum(sol**2, axis=0)
         )
-        return float(jnp.sum(ll))
+        return float(np.sum(ll))
 
     def simulate(self, n_samples=1000, seed=None):
         """Draw joint-normal samples; returns a DataFrame."""
-        variables, mean, cov = self.to_joint_gaussian()
+        variables, mean, cov = self.joint_gaussian()
         rng = np.random.default_rng(seed)
         samples = rng.multivariate_normal(mean, cov, size=int(n_samples))
         return pd.DataFrame(samples, columns=variables)
 
-    def fit(self, data, method="mle"):
-        """Node-wise MLE: per-node linear regression of the variable on its
-        parents (jnp least squares)."""
+    def fit(self, data, estimator="mle", std_estimator="unbiased", method=None):
+        """Node-wise OLS: per-node linear regression of the variable on its
+        parents.  Matches the reference contract
+        (``LinearGaussianBayesianNetwork.py:569-659``): ``std_estimator``
+        "mle" divides residual variance by n, "unbiased" (default) by
+        ``n - (1 + len(parents))``.  The regressions are tiny host-side
+        problems solved in float64 numpy — per-node device dispatch would
+        dominate and f32 would cost ~7 significant digits of parity.
+        """
+        if method is not None:  # backwards-compat alias
+            estimator = method
+        if estimator not in ("mle",):
+            raise ValueError("estimator must be one of {'mle'}")
+        if std_estimator not in ("mle", "unbiased"):
+            raise ValueError("std_estimator must be one of {'mle', 'unbiased'}")
+        missing = set(self.nodes()) - set(data.columns)
+        if missing:
+            raise ValueError(f"Following variables are missing in the data: {missing}")
         cpds = []
         for var in self.nodes():
             parents = self.get_parents(var)
-            y = jnp.asarray(data[var].to_numpy(dtype=np.float64))
+            y = data[var].to_numpy(dtype=np.float64)
+            n = y.shape[0]
             if parents:
-                X = jnp.concatenate(
-                    [
-                        jnp.ones((len(data), 1)),
-                        jnp.asarray(data.loc[:, parents].to_numpy(dtype=np.float64)),
-                    ],
-                    axis=1,
+                X = np.column_stack(
+                    [np.ones(n), data.loc[:, parents].to_numpy(dtype=np.float64)]
                 )
-                beta, _, _, _ = jnp.linalg.lstsq(X, y)
+                beta, _, _, _ = np.linalg.lstsq(X, y, rcond=None)
                 resid = y - X @ beta
-                std = float(jnp.sqrt(jnp.mean(resid**2)))
+                ddof = 0 if std_estimator == "mle" else 1 + len(parents)
+                resid = resid - resid.mean()  # pandas .std() centers first
+                std = float(np.sqrt(np.sum(resid**2) / max(n - ddof, 1)))
                 cpds.append(
-                    LinearGaussianCPD(var, np.asarray(beta), max(std, 1e-9), evidence=parents)
+                    LinearGaussianCPD(var, beta, max(std, 1e-9), evidence=parents)
                 )
             else:
-                mu = float(jnp.mean(y))
-                std = float(jnp.std(y))
+                ddof = 0 if std_estimator == "mle" else 1
+                mu = float(y.mean())
+                std = float(np.sqrt(np.sum((y - mu) ** 2) / max(n - ddof, 1)))
                 cpds.append(LinearGaussianCPD(var, [mu], max(std, 1e-9)))
         self.add_cpds(*cpds)
         return self
@@ -167,7 +198,7 @@ class LinearGaussianBayesianNetwork(DAG):
 
         Returns (variable list, mean matrix, covariance) like the reference.
         """
-        variables, mean, cov = self.to_joint_gaussian()
+        variables, mean, cov = self.joint_gaussian()
         missing = [v for v in variables if v not in data.columns]
         if not missing:
             raise ValueError("No variable missing in data. Nothing to predict")

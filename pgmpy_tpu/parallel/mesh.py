@@ -115,7 +115,7 @@ def sharded_nuts_moments(
     per_dev = -(-int(n_chains) // n_dev)
 
     nuts = VectorizedNUTS(model, max_depth=max_depth)
-    variables, mean0, _ = model.to_joint_gaussian()
+    variables, mean0, _ = model.joint_gaussian()
     dim = len(variables)
     init = jnp.tile(jnp.asarray(mean0), (per_dev, 1))
 

@@ -33,7 +33,7 @@ def _resolve_log_pdf(model):
     if isinstance(model, LinearGaussianBayesianNetwork) or hasattr(
         model, "to_joint_gaussian"
     ):
-        variables, mean, cov = model.to_joint_gaussian()
+        variables, mean, cov = model.joint_gaussian()
         prec = jnp.asarray(np.linalg.inv(cov))
         mu = jnp.asarray(mean)
 

@@ -66,3 +66,143 @@ def standalone_sample(model, n_rows, seed):
         # inference when a column is single-valued)
         columns[node] = pd.Categorical.from_codes(draw, categories=states)
     return pd.DataFrame(columns, columns=sorted(columns, key=str))
+
+
+def standalone_gaussian_frame(n_rows, seed):
+    """Deterministic all-continuous frame from a fixed 6-variable linear
+    SEM (A->B, A->C, B->D, C->D, D->E, B->F, E->F).  Shared between the
+    reference-golden generator and pgmpy_tpu tests."""
+    rng = np.random.default_rng(seed)
+    eps = rng.normal(size=(n_rows, 6))
+    A = eps[:, 0]
+    B = 0.7 * A + 0.8 * eps[:, 1]
+    C = -0.5 * A + eps[:, 2]
+    D = 0.6 * B + 0.4 * C + 0.5 * eps[:, 3]
+    E = 1.2 * D + eps[:, 4]
+    F = 0.3 * B - 0.7 * E + 1.2 * eps[:, 5]
+    return pd.DataFrame({"A": A, "B": B, "C": C, "D": D, "E": E, "F": F})
+
+
+GAUSSIAN_FRAME_EDGES = [
+    ("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"), ("D", "E"),
+    ("B", "F"), ("E", "F"),
+]
+
+
+def standalone_mixed_frame(n_rows, seed):
+    """Deterministic mixed discrete/continuous frame.  Categorical columns
+    use explicit pandas Categorical dtype (the reference's dtype inference
+    rejects pandas-3 native string columns)."""
+    rng = np.random.default_rng(seed)
+    n = n_rows
+    A = rng.normal(size=n)
+    B = pd.Categorical(
+        np.where(rng.random(n) < 1.0 / (1.0 + np.exp(-A)), "b1", "b0")
+    )
+    C = 0.5 * A + 1.0 * (np.asarray(B) == "b1") + 0.7 * rng.normal(size=n)
+    d_noise = rng.normal(size=n)
+    D = pd.Categorical(
+        np.where(C + 0.5 * d_noise > 0.7, "d2",
+                 np.where(C + 0.5 * d_noise > -0.3, "d1", "d0"))
+    )
+    E = rng.integers(0, 3, size=n)  # integer column => kind 'N'
+    F = pd.Categorical(rng.choice(["f0", "f1"], size=n))
+    return pd.DataFrame({"A": A, "B": B, "C": C, "D": D, "E": E, "F": F})
+
+
+def em_init_values(spec, seed):
+    """Deterministic EM initial CPDs: ``spec`` is a sorted list of
+    ``(variable, card, [(parent, parent_card), ...])`` rows; returns
+    {variable: 2-D normalized ndarray (card, prod(parent_cards))}.
+    Both libraries wrap the same arrays in their own TabularCPD."""
+    out = {}
+    for i, (var, card, parents) in enumerate(spec):
+        rng = np.random.default_rng(seed + 31 * i)
+        n_cols = 1
+        for _, pc in parents:
+            n_cols *= pc
+        vals = rng.random((card, n_cols)) + 0.1
+        out[var] = vals / vals.sum(axis=0, keepdims=True)
+    return out
+
+
+def mplp_grid_spec(rows, cols, seed):
+    """Deterministic binary grid Markov network: returns (nodes, edges,
+    unary, pairwise) where unary[node] is a length-2 array and
+    pairwise[edge] a (2, 2) array of factor values."""
+    rng = np.random.default_rng(seed)
+    nodes = [f"x{r}_{c}" for r in range(rows) for c in range(cols)]
+    edges = []
+    for r in range(rows):
+        for c in range(cols):
+            if c + 1 < cols:
+                edges.append((f"x{r}_{c}", f"x{r}_{c + 1}"))
+            if r + 1 < rows:
+                edges.append((f"x{r}_{c}", f"x{r + 1}_{c}"))
+    unary = {n: np.exp(rng.normal(size=2)) for n in nodes}
+    pairwise = {e: np.exp(rng.normal(size=(2, 2))) for e in edges}
+    return nodes, edges, unary, pairwise
+
+
+CAUSAL_GRAPH_SPECS = {
+    # name: (edges, latents)
+    "backdoor_chain": ([("Z", "X"), ("Z", "Y"), ("X", "Y")], []),
+    "napkin": (
+        [("W", "Z"), ("Z", "X"), ("X", "Y"), ("U1", "W"), ("U1", "X"),
+         ("U2", "W"), ("U2", "Y")],
+        ["U1", "U2"],
+    ),
+    "m_graph": (
+        [("X", "Y"), ("U1", "X"), ("U1", "M"), ("U2", "M"), ("U2", "Y")],
+        ["U1", "U2"],
+    ),
+    "iv_classic": (
+        [("Z", "X"), ("X", "Y"), ("U", "X"), ("U", "Y")],
+        ["U"],
+    ),
+    "frontdoor": ([("X", "M"), ("M", "Y"), ("U", "X"), ("U", "Y")], ["U"]),
+    "multi_adjust": (
+        [("A", "X"), ("B", "X"), ("A", "Y"), ("B", "Y"), ("X", "Y"),
+         ("X", "C"), ("C", "Y")],
+        [],
+    ),
+}
+
+
+DBN_2TBN_EDGES = [
+    (("A", 0), ("B", 0)),
+    (("A", 0), ("C", 0)),
+    (("B", 0), ("D", 0)),
+    (("C", 0), ("D", 0)),
+    (("A", 0), ("A", 1)),
+    (("B", 0), ("B", 1)),
+    (("C", 0), ("C", 1)),
+    (("D", 0), ("D", 1)),
+]
+
+
+def standalone_dbn_frame(n_rows, n_slices, seed):
+    """Deterministic wide DBN training frame: columns (var, t) for
+    t in 0..n_slices-1, binary integer data with temporal correlation."""
+    rng = np.random.default_rng(seed)
+    cols = {}
+    prev = {}
+    for t in range(n_slices):
+        for var in ["A", "B", "C", "D"]:
+            if t == 0:
+                col = (rng.random(n_rows) < 0.5).astype(np.int64)
+            else:
+                flip = rng.random(n_rows) < 0.25
+                col = np.where(flip, 1 - prev[var], prev[var])
+            cols[(var, t)] = col
+            prev[var] = col
+    df = pd.DataFrame(cols)
+    df.columns = pd.MultiIndex.from_tuples(df.columns)
+    return df
+
+
+INDEPENDENCE_GRAPHS = {
+    "collider_chain": [("A", "B"), ("C", "B"), ("B", "D"), ("D", "E")],
+    "diamond": [("A", "B"), ("A", "C"), ("B", "D"), ("C", "D")],
+    "tree": [("R", "X"), ("R", "Y"), ("X", "U"), ("X", "V")],
+}

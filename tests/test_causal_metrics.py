@@ -49,7 +49,10 @@ class TestBackdoorFrontdoor:
         ci = CausalInference(dag)
         assert ci.is_valid_frontdoor_adjustment_set("smoking", "cancer", ["tar"])
         assert frozenset(["tar"]) in ci.get_all_frontdoor_adjustment_sets("smoking", "cancer")
-        assert not ci.get_all_backdoor_adjustment_sets("smoking", "cancer")
+        # no backdoor set exists (the confounder is latent): the reference
+        # raises here (CausalInference.py:146-210)
+        with pytest.raises(ValueError, match="No valid adjustment set"):
+            ci.get_all_backdoor_adjustment_sets("smoking", "cancer")
 
     def test_minimal_adjustment_set(self):
         ci = CausalInference(confounded_model())

@@ -19,7 +19,7 @@ def chain_lgbn():
 
 class TestLGBN:
     def test_joint_gaussian_closed_form(self):
-        variables, mean, cov = chain_lgbn().to_joint_gaussian()
+        variables, mean, cov = chain_lgbn().joint_gaussian()
         assert variables == ["x1", "x2", "x3"]
         np.testing.assert_allclose(mean, [1.0, -4.5, 8.5], atol=1e-5)
         expected_cov = np.array(
@@ -47,7 +47,7 @@ class TestLGBN:
 
         model = chain_lgbn()
         df = model.simulate(n_samples=100, seed=2)
-        variables, mean, cov = model.to_joint_gaussian()
+        variables, mean, cov = model.joint_gaussian()
         expected = multivariate_normal(mean, cov).logpdf(
             df.loc[:, variables].to_numpy()
         ).sum()
@@ -82,7 +82,7 @@ class TestLGBN:
         model = get_example_model("ecoli70")
         assert len(model.nodes()) == 46
         assert model.check_model()
-        variables, mean, cov = model.to_joint_gaussian()
+        variables, mean, cov = model.joint_gaussian()
         assert np.all(np.isfinite(mean)) and np.all(np.isfinite(cov))
         # covariance must be symmetric PSD
         np.testing.assert_allclose(cov, cov.T, atol=1e-5)
@@ -102,7 +102,7 @@ class TestHMC:
             n_chains=16, seed=0, return_type="array",
         )
         pooled = samples[300:].reshape(-1, 2)
-        _, mean, cov = model.to_joint_gaussian()
+        _, mean, cov = model.joint_gaussian()
         np.testing.assert_allclose(pooled.mean(axis=0), mean, atol=0.25)
         np.testing.assert_allclose(np.cov(pooled.T), cov, atol=0.6)
         assert hmc.acceptance_rate > 0.5
@@ -115,7 +115,7 @@ class TestHMC:
             trajectory_length=8, n_chains=8, seed=0, return_type="array",
         )
         pooled = samples[200:].reshape(-1, 3)
-        _, mean, _ = model.to_joint_gaussian()
+        _, mean, _ = model.joint_gaussian()
         np.testing.assert_allclose(pooled.mean(axis=0), mean, atol=0.4)
         assert 0.3 < hmc.acceptance_rate <= 1.0
 
@@ -129,7 +129,7 @@ class TestNUTS:
         )
         nuts = NoUTurnSampler(model, max_depth=6)
         samples = nuts.sample(np.zeros(2), num_samples=600, seed=0, return_type="array")
-        _, mean, cov = model.to_joint_gaussian()
+        _, mean, cov = model.joint_gaussian()
         np.testing.assert_allclose(samples[100:].mean(axis=0), mean, atol=0.3)
         np.testing.assert_allclose(np.cov(samples[100:].T), cov, atol=0.6)
 
@@ -149,7 +149,7 @@ class TestVectorizedNUTS:
             n_chains=32, seed=0,
         )
         pooled = samples[100:].reshape(-1, 2)
-        _, mean, cov = model.to_joint_gaussian()
+        _, mean, cov = model.joint_gaussian()
         np.testing.assert_allclose(pooled.mean(axis=0), mean, atol=0.2)
         np.testing.assert_allclose(np.cov(pooled.T), cov, atol=0.6)
         assert 0.6 < nuts.acceptance_rate <= 1.0
@@ -162,6 +162,6 @@ class TestVectorizedNUTS:
         vec = VectorizedNUTS(model, max_depth=6)
         s1 = vec.sample(np.zeros(3), num_samples=1200, num_adapt=200, n_chains=16, seed=0)
         p1 = s1[200:].reshape(-1, 3)
-        _, mean, cov = model.to_joint_gaussian()
+        _, mean, cov = model.joint_gaussian()
         np.testing.assert_allclose(p1.mean(axis=0), mean, atol=0.3)
         np.testing.assert_allclose(np.sqrt(np.diag(np.cov(p1.T))), np.sqrt(np.diag(cov)), rtol=0.15)

@@ -49,7 +49,7 @@ def _lgbn_truth():
 class TestLinearGaussianBN:
     def test_joint_gaussian_moments(self):
         model = _lgbn()
-        variables, mean, cov = model.to_joint_gaussian()
+        variables, mean, cov = model.joint_gaussian()
         want_mean, want_cov = _lgbn_truth()
         order = [variables.index(v) for v in ["x1", "x2", "x3"]]
         np.testing.assert_allclose(np.asarray(mean)[order], want_mean,
@@ -71,7 +71,7 @@ class TestLinearGaussianBN:
 
         model = _lgbn()
         df = model.simulate(n_samples=50, seed=1)
-        variables, mean, cov = model.to_joint_gaussian()
+        variables, mean, cov = model.joint_gaussian()
         want = stats.multivariate_normal(
             np.asarray(mean, dtype=np.float64),
             np.asarray(cov, dtype=np.float64)).logpdf(
@@ -122,7 +122,7 @@ class TestLinearGaussianBN:
         model = LinearGaussianBayesianNetwork.get_random(
             n_nodes=6, edge_prob=0.5, seed=3)
         assert model.check_model()
-        _, mean, cov = model.to_joint_gaussian()
+        _, mean, cov = model.joint_gaussian()
         # covariance must be symmetric PSD
         c = np.asarray(cov, dtype=np.float64)
         np.testing.assert_allclose(c, c.T, atol=1e-5)

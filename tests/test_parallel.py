@@ -93,7 +93,7 @@ class TestShardedNUTS:
             model, n_chains=64, num_samples=400, num_adapt=150,
             stepsize=0.2, max_depth=5, seed=0,
         )
-        _, mean, cov = model.to_joint_gaussian()
+        _, mean, cov = model.joint_gaussian()
         std = np.sqrt(np.diag(cov))
         for i, (var, (m, s)) in enumerate(moments.items()):
             assert abs(m - mean[i]) < 0.25, var
@@ -294,7 +294,7 @@ class TestZooScaleSharding:
         from pgmpy_tpu.utils import get_example_model
 
         model = get_example_model("ecoli70")
-        variables, mean, cov = model.to_joint_gaussian()
+        variables, mean, cov = model.joint_gaussian()
         moments = sharded_nuts_moments(
             model, n_chains=64, num_samples=60, num_adapt=40,
             stepsize=0.17, max_depth=5, seed=0,
