@@ -128,37 +128,49 @@ class BDs(BDeu):
     """BDeu with prior spread only over *observed* parent configurations."""
 
     def structure_prior_ratio(self, operation):
-        nodes_num = len(self.variables)
+        # marginal uniform prior: each arc present with probability 1/4,
+        # absent with 1/2 (reference BDs.structure_prior_ratio)
         if operation == "+":
-            return -np.log(nodes_num - 1)
+            return -np.log(2.0)
         if operation == "-":
-            return np.log(nodes_num - 1)
+            return np.log(2.0)
         return 0
 
     def structure_prior(self, model):
         nedges = float(len(model.edges()))
-        nodes_num = len(model.nodes())
-        return -(nedges + float(nodes_num) * (float(nodes_num) - 1) / 2) * np.log(
-            nodes_num - 1
-        ) if nodes_num > 1 else 0
+        nnodes = float(len(model.nodes()))
+        possible_edges = nnodes * (nnodes - 1) / 2.0
+        return -(nedges + possible_edges) * np.log(2.0)
 
     def local_score(self, variable, parents):
+        # Reference expression tree (StructureScore.py BDs.local_score):
+        # the sparse-Dirichlet alpha spreads ESS over OBSERVED parent
+        # configurations, but beta and the prior-normalization terms still
+        # use the FULL table size, and the dropped zero columns keep their
+        # closed-form gammaln contributions.
+        from math import lgamma
+
         counts = self._coded.counts(variable, list(parents)).astype(np.float64)
-        var_card = counts.shape[0]
-        col_sums = counts.sum(axis=0)
-        observed = col_sums > 0
-        n_obs_configs = max(int(observed.sum()), 1)
-        alpha = self.equivalent_sample_size / n_obs_configs
-        beta = self.equivalent_sample_size / (n_obs_configs * var_card)
-        counts = counts[:, observed]
-        col_sums = col_sums[observed]
-        score = float(
-            np.sum(gammaln(counts + beta))
-            - counts.size * gammaln(beta)
-            + n_obs_configs * gammaln(alpha)
-            - np.sum(gammaln(col_sums + alpha))
+        var_card, n_configs = counts.shape
+        col_sums = np.sum(counts, axis=0, dtype=float)
+        observed = counts[:, col_sums > 0]
+        m = observed.shape[1]
+        if m == 0:
+            m = 1
+            observed = counts[:, :1]
+        alpha = self.equivalent_sample_size / m
+        beta = self.equivalent_sample_size / counts.size
+        log_gamma_counts = gammaln(observed + beta)
+        log_gamma_conds = gammaln(np.sum(observed, axis=0, dtype=float) + alpha)
+        gamma_counts_adj = (n_configs - m) * var_card * gammaln(beta)
+        gamma_conds_adj = (n_configs - m) * gammaln(alpha)
+        score = (
+            (np.sum(log_gamma_counts) + gamma_counts_adj)
+            - (np.sum(log_gamma_conds) + gamma_conds_adj)
+            + m * lgamma(alpha)
+            - counts.size * lgamma(beta)
         )
-        return score
+        return float(score)
 
 
 class LogLikeliHood(StructureScore):
