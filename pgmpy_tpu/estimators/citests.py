@@ -314,22 +314,22 @@ def _boosted_residuals(target, Z, data, seed=None, classifier_factory=None, regr
 def _canonical_corrs(res_x, res_y):
     """Canonical correlations of two residual blocks.
 
-    The (n x p)(n x q) cross-products are one device matmul; the remaining
-    whiten-and-SVD runs on the tiny (p+q)^2 Gram matrix host-side.  Equals
-    the reference's per-component corrcoef of sklearn-CCA transforms
-    (``CITests.py:730-737``) for full-rank blocks, and degrades gracefully
-    (pinv tolerance) on rank-deficient ones.
+    The (p+q)^2 Gram cross-product and whiten-and-SVD run host-side in
+    float64: the blocks are host arrays (they come out of the host
+    regressions), the matrices are tiny, and a device round trip through
+    the TPU tunnel would cost ~1 ms while f32 rounding loses ~3 digits of
+    the test statistic (differential goldens v6 pin reference parity at
+    1e-6 relative).  Equals the reference's per-component corrcoef of
+    sklearn-CCA transforms (``CITests.py:730-737``) for full-rank blocks,
+    and degrades gracefully (pinv tolerance) on rank-deficient ones.
     """
     A = res_x - res_x.mean(axis=0, keepdims=True)
     B = res_y - res_y.mean(axis=0, keepdims=True)
     p, q = A.shape[1], B.shape[1]
     if p == 0 or q == 0:
         return np.zeros(0)
-    M = jnp.asarray(np.column_stack([A, B]))
-    G = np.asarray(
-        jnp.matmul(M.T, M, precision=jax.lax.Precision.HIGHEST),
-        dtype=np.float64,
-    )
+    M = np.column_stack([A, B]).astype(np.float64, copy=False)
+    G = M.T @ M
     Sxx, Sxy, Syy = G[:p, :p], G[:p, p:], G[p:, p:]
 
     def inv_sqrt(S):

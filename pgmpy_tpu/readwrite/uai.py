@@ -1,6 +1,25 @@
 """UAI competition format reader/writer (MARKOV / BAYES).
 
-Parity: ``/root/reference/pgmpy/readwrite/UAI.py``.
+Parity: ``/root/reference/pgmpy/readwrite/UAI.py``, byte-layout compatible
+with the reference's writer so files interoperate in both directions:
+
+- variable indices are assigned in ``(cardinality-string, name)`` sort
+  order (ref ``UAI.py:341-346`` sorts ``domain.items()`` by value then key);
+- BAYES function scopes list the REVERSED evidence followed by the child
+  (ref ``UAI.py:417``: ``cpd.variables[:0:-1]``);
+- BAYES tables are ``cpd.values.ravel()`` — child varies SLOWEST, the
+  original (un-reversed) evidence order C-major after it (ref
+  ``UAI.py:455-460``).  This is self-consistent but NOT the standard UAI
+  entry order for the written scope.
+
+Divergence (deliberate): the reference READER recovers each CPD's evidence
+order from ``model.predecessors``, whose order comes from a ``set`` of
+edges (ref ``UAI.py:172-199``) — under hash randomization its own
+round-trip silently transposes CPDs (reproducible with
+``PYTHONHASHSEED=4``).  Our reader derives the evidence order
+deterministically from the function scope itself (reverse of the scope's
+parent prefix), which is what the reference's writer meant and what its
+reader produces on a lucky hash order.
 """
 
 import re
@@ -75,7 +94,12 @@ class UAIReader:
     def get_tables(self):
         tables = []
         for scope, values in zip(self.scopes, self.table_values):
-            tables.append(([f"var_{i}" for i in scope], [str(v) for v in values]))
+            if self.network_type == "BAYES":
+                tables.append((f"var_{scope[-1]}", [str(v) for v in values]))
+            else:
+                tables.append(
+                    ([f"var_{i}" for i in scope], [str(v) for v in values])
+                )
         return tables
 
     def get_model(self):
@@ -87,13 +111,15 @@ class UAIReader:
 
             model = DiscreteBayesianNetwork()
             model.add_nodes_from(self.variables)
-            model.add_edges_from(self.edges)
+            model.add_edges_from(sorted(self.edges))
             cpds = []
             for scope, values in zip(self.scopes, self.table_values):
                 child = scope[-1]
-                parents = scope[:-1]
+                # scope lists REVERSED evidence then child; table entries
+                # are child-major over the ORIGINAL evidence order
+                parents = list(reversed(scope[:-1]))
                 child_card = self.domain[child]
-                arr = np.asarray(values).reshape(-1, child_card).T
+                arr = np.asarray(values).reshape(child_card, -1)
                 cpds.append(
                     TabularCPD(
                         f"var_{child}",
@@ -107,7 +133,7 @@ class UAIReader:
             return model
         model = DiscreteMarkovNetwork()
         model.add_nodes_from(self.variables)
-        model.add_edges_from(self.edges)
+        model.add_edges_from(sorted(self.edges))
         factors = []
         for scope, values in zip(self.scopes, self.table_values):
             factors.append(
@@ -122,11 +148,12 @@ class UAIReader:
 
 
 class UAIWriter:
-    def __init__(self, model):
+    def __init__(self, model, round_values=None):
         from pgmpy_tpu.models.discrete_bn import DiscreteBayesianNetwork
         from pgmpy_tpu.models.markov_network import DiscreteMarkovNetwork
 
         self.model = model
+        self.round_values = round_values
         if isinstance(model, DiscreteBayesianNetwork):
             self.network_type = "BAYES"
         elif isinstance(model, DiscreteMarkovNetwork):
@@ -136,91 +163,72 @@ class UAIWriter:
         model.check_model()
 
     def get_nodes(self):
-        """{variable: cardinality} in the writer's canonical order."""
+        """{variable: cardinality-string} (reference ``get_domain``)."""
         model = self.model
         if self.network_type == "BAYES":
             return {
                 str(v): str(model.get_cpds(v).variable_card)
-                for v in sorted(model.nodes(), key=str)
+                for v in model.nodes()
             }
         card = model.get_cardinality()
-        return {str(v): str(card[v]) for v in sorted(model.nodes(), key=str)}
+        return {str(v): str(card[v]) for v in model.nodes()}
 
     def get_domain(self):
         """Reference-name alias of get_nodes (ref UAI.py)."""
         return self.get_nodes()
 
+    def _canonical_variables(self):
+        """Variable index order: sorted by (cardinality-string, name) —
+        the reference's ``sorted(domain.items(), key=(value, key))``."""
+        domain = self.get_nodes()
+        return [v for v, _ in sorted(domain.items(), key=lambda x: (x[1], x[0]))]
+
+    def _sorted_cpds(self):
+        return sorted(self.model.get_cpds(), key=lambda c: str(c.variable))
+
     def get_functions(self):
-        """Function scopes as variable-index lists."""
-        model = self.model
-        variables = sorted(model.nodes(), key=str)
-        var_index = {v: i for i, v in enumerate(variables)}
+        """Function scopes as variable-index lists (BAYES: reversed
+        evidence + child, ref UAI.py:414-424)."""
+        var_index = {v: i for i, v in enumerate(self._canonical_variables())}
         if self.network_type == "BAYES":
             return [
-                [var_index[p] for p in model.get_cpds(v).variables[1:]]
-                + [var_index[v]]
-                for v in variables
+                [var_index[str(p)] for p in reversed(cpd.variables[1:])]
+                + [var_index[str(cpd.variable)]]
+                for cpd in self._sorted_cpds()
             ]
         return [
-            [var_index[v] for v in f.variables] for f in model.get_factors()
+            [var_index[str(v)] for v in f.variables]
+            for f in self.model.get_factors()
         ]
 
     def get_tables(self):
-        """Flat probability tables, one list per function."""
-        import numpy as np
-
-        model = self.model
+        """Flat probability tables, one list per function (BAYES:
+        ``cpd.values.ravel()`` — child slowest, ref UAI.py:455-460)."""
         if self.network_type == "BAYES":
-            variables = sorted(model.nodes(), key=str)
-            out = []
-            for v in variables:
-                cpd = model.get_cpds(v)
-                # UAI order: parent configs slowest, child fastest
-                out.append(
-                    np.asarray(cpd.get_values(), dtype=np.float64)
-                    .T.ravel().tolist()
-                )
-            return out
+            return [
+                np.asarray(cpd.get_values(), dtype=np.float64).ravel().tolist()
+                for cpd in self._sorted_cpds()
+            ]
         return [
             np.asarray(f.values, dtype=np.float64).ravel().tolist()
-            for f in model.get_factors()
+            for f in self.model.get_factors()
         ]
 
     def get_string(self):
-        model = self.model
-        variables = sorted(model.nodes(), key=str)
-        var_index = {v: i for i, v in enumerate(variables)}
+        variables = self._canonical_variables()
+        domain = self.get_nodes()
         lines = [self.network_type, str(len(variables))]
-        if self.network_type == "BAYES":
-            cards = [str(model.get_cpds(v).variable_card) for v in variables]
-        else:
-            card_map = model.get_cardinality()
-            cards = [str(card_map[v]) for v in variables]
-        lines.append(" ".join(cards))
-
-        if self.network_type == "BAYES":
-            funcs = []
-            tables = []
-            for v in variables:
-                cpd = model.get_cpds(v)
-                parents = cpd.variables[1:]
-                scope = [var_index[p] for p in parents] + [var_index[v]]
-                funcs.append(f"{len(scope)} " + " ".join(map(str, scope)))
-                values = cpd.get_values().T.ravel()
-                tables.append((len(values), values))
-        else:
-            funcs = []
-            tables = []
-            for factor in model.get_factors():
-                scope = [var_index[v] for v in factor.variables]
-                funcs.append(f"{len(scope)} " + " ".join(map(str, scope)))
-                values = np.asarray(factor.values).ravel()
-                tables.append((len(values), values))
+        lines.append(" ".join(domain[v] for v in variables))
+        funcs = self.get_functions()
+        tables = self.get_tables()
         lines.append(str(len(funcs)))
-        lines.extend(funcs)
+        for scope in funcs:
+            lines.append(f"{len(scope)} " + " ".join(map(str, scope)))
         lines.append("")
-        for n, values in tables:
-            lines.append(str(n))
+        for values in tables:
+            if self.round_values is not None:
+                values = np.round(values, self.round_values).tolist()
+            lines.append(str(len(values)))
             lines.append(" ".join(repr(float(v)) for v in values))
             lines.append("")
         return "\n".join(lines)

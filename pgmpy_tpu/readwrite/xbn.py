@@ -32,13 +32,19 @@ class XBNReader:
         return dict(self.network.attrib)
 
     def get_bnmodel_name(self):
-        return self.bnmodel.get("NAME")
+        # the reference's model-driven writer emits NAME as a child element
+        # rather than an attribute; accept both
+        name = self.bnmodel.get("NAME")
+        if name is None:
+            name_el = self.bnmodel.find("NAME")
+            name = name_el.text if name_el is not None else None
+        return name
 
     def get_static_properties(self):
-        return {
-            prop.tag: prop.get("VALUE")
-            for prop in self.bnmodel.find("STATICPROPERTIES")
-        }
+        static = self.bnmodel.find("STATICPROPERTIES")
+        if static is None:  # optional (reference-written files omit it)
+            return {}
+        return {prop.tag: prop.get("VALUE") for prop in static}
 
     def get_variables(self):
         variables = {}
@@ -140,6 +146,10 @@ class XBNWriter:
             var_el = etree.SubElement(
                 variables, "VAR", attrib={"NAME": str(var), "TYPE": "discrete"}
             )
+            # the reference READER requires a DESCRIPTION element per VAR
+            # (XMLBeliefNetwork.py:117 calls .find("DESCRIPTION").text
+            # unguarded); its writer emits one with a DESCRIPTION attribute
+            etree.SubElement(var_el, "DESCRIPTION", attrib={"DESCRIPTION": ""})
             for state in cpd.state_names[var]:
                 etree.SubElement(var_el, "STATENAME").text = str(state)
 

@@ -206,3 +206,95 @@ INDEPENDENCE_GRAPHS = {
     "diamond": [("A", "B"), ("A", "C"), ("B", "D"), ("C", "D")],
     "tree": [("R", "X"), ("R", "Y"), ("X", "U"), ("X", "V")],
 }
+
+
+# ---------------------------------------------------------------------------
+# Deterministic linear predictor for pillai_trace differential goldens.
+#
+# The reference's pillai_trace hard-requires XGBoost (absent here), so exact
+# prediction parity is impossible with its default regressor.  Instead both
+# libraries are driven with the SAME deterministic least-squares predictor —
+# the reference via a monkeypatched ``_get_predictions`` (in
+# tools/gen_goldens_v6.py), ours via the public ``classifier_factory`` /
+# ``regressor_factory`` hooks — which makes everything downstream
+# (one-hot residual assembly, canonical correlations, the Muller-Peterson F
+# approximation) differentially testable to float tolerance.
+# ---------------------------------------------------------------------------
+
+
+def _with_intercept(Z):
+    Z = np.asarray(Z, dtype=np.float64)
+    if Z.ndim == 1:
+        Z = Z[:, None]
+    return np.column_stack([np.ones(Z.shape[0]), Z])
+
+
+def pillai_encode_Z(data, Z):
+    """Replicates pgmpy_tpu's ``_feature_matrix`` encoding: categorical
+    columns -> sorted-factorize integer codes, numeric columns -> float64."""
+    cols = []
+    for z in Z:
+        col = data[z]
+        if isinstance(col.dtype, pd.CategoricalDtype) or not pd.api.types.is_numeric_dtype(col):
+            codes, _ = pd.factorize(col, sort=True)
+            cols.append(codes.astype(np.float64))
+        else:
+            cols.append(col.to_numpy(dtype=np.float64))
+    if not cols:
+        return np.zeros((data.shape[0], 0))
+    return np.column_stack(cols)
+
+
+def linear_lstsq_predict(Zmat_with_intercept, y):
+    beta, _, _, _ = np.linalg.lstsq(Zmat_with_intercept, np.asarray(y, dtype=np.float64), rcond=None)
+    return Zmat_with_intercept @ beta
+
+
+class LinearPillaiRegressor:
+    """sklearn-like deterministic linear regressor (intercept + lstsq)."""
+
+    def fit(self, Z, y):
+        self.beta, _, _, _ = np.linalg.lstsq(
+            _with_intercept(Z), np.asarray(y, dtype=np.float64), rcond=None
+        )
+        return self
+
+    def predict(self, Z):
+        return _with_intercept(Z) @ self.beta
+
+
+class LinearPillaiClassifier:
+    """sklearn-like deterministic linear-probability classifier: lstsq of
+    the one-hot target on [1, Z]; predict_proba columns are code order."""
+
+    def fit(self, Z, codes):
+        codes = np.asarray(codes)
+        k = int(codes.max()) + 1
+        onehot = np.eye(k)[codes]
+        self.beta, _, _, _ = np.linalg.lstsq(_with_intercept(Z), onehot, rcond=None)
+        return self
+
+    def predict_proba(self, Z):
+        return _with_intercept(Z) @ self.beta
+
+
+PILLAI_CASES = [
+    ("A", "C", ["B"]),
+    ("B", "D", ["A", "C"]),
+    ("A", "B", []),
+    ("B", "D", []),
+    ("C", "D", ["A", "B", "E", "F"]),
+    ("B", "F", ["C", "E"]),
+    ("D", "A", ["B"]),
+    ("D", "F", ["A", "B", "C"]),
+]
+
+EDGE_STRENGTH_DAG = [
+    ("A", "B"),
+    ("A", "C"),
+    ("B", "C"),
+    ("C", "D"),
+    ("B", "D"),
+    ("E", "D"),
+    ("C", "F"),
+]

@@ -174,7 +174,9 @@ class TestSmallSurface:
 
         w = UAIWriter(_model())
         assert w.get_nodes() == {"A": "2", "B": "3", "C": "2"}
-        assert w.get_functions()[2] == [0, 1, 2]
+        # canonical var order is (card, name)-sorted: A=0, C=1, B=2; the
+        # scope lists reversed evidence [B, A] then the child C
+        assert w.get_functions()[2] == [2, 0, 1]
         assert len(w.get_tables()[2]) == 12
 
     def test_xbn_writer_setters(self):

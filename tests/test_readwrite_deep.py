@@ -261,8 +261,9 @@ UAI_BAYES = """BAYES
 2
  0.4 0.6
 6
- 0.2 0.3 0.5
- 0.1 0.1 0.8
+ 0.2 0.1
+ 0.3 0.1
+ 0.5 0.8
 """
 
 
@@ -280,6 +281,7 @@ class TestUAI:
         assert len(factors) == 3
 
     def test_bayes_parse(self):
+        # reference layout: table entries are child-major (child slowest)
         model = UAIReader(string=UAI_BAYES).get_model()
         assert set(model.edges()) == {("var_0", "var_1")}
         cpd = model.get_cpds("var_1")
