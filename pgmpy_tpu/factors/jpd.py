@@ -100,9 +100,15 @@ class JointProbabilityDistribution(DiscreteFactor):
         )
 
     def minimal_imap(self, order):
-        """Build a minimal I-map DAG for the given variable order by finding,
-        for each variable, the smallest parent subset making it independent
-        of its other predecessors."""
+        """I-map DAG for the given variable order, with the reference's
+        LITERAL semantics (``JointProbabilityDistribution.py:358-401``,
+        goldens v7): an edge ``s -> v`` is added for every PROPER
+        predecessor subset ``s`` that renders ``v`` independent of the
+        remaining predecessors.  Quirks faithfully preserved: a fully
+        dependent variable gets NO parents (no subset certifies), and a
+        fully independent one gets an edge from every singleton subset —
+        so the output is minimal only in the reference's sense, not the
+        textbook one."""
         from pgmpy_tpu.base.dag import DAG
 
         def get_subsets(u):
@@ -116,14 +122,9 @@ class JointProbabilityDistribution(DiscreteFactor):
                 if len(subset) < len(u) and self.check_independence(
                     [order[variable_index]], set(u) - set(subset), subset, True
                 ):
-                    graph.add_node(order[variable_index])
                     graph.add_edges_from(
                         [(variable, order[variable_index]) for variable in subset]
                     )
-                    break
-            else:
-                graph.add_node(order[variable_index])
-                graph.add_edges_from([(variable, order[variable_index]) for variable in u])
         return graph
 
     def is_imap(self, model):

@@ -106,15 +106,21 @@ def preprocess_data(df, state_names=None):
 def discretize(data, cardinality, labels=None, method="rounding"):
     """Discretize continuous columns into ``cardinality`` bins.
 
-    method: "rounding" (equal-width bins) or "quantile".
+    method: "rounding" (equal-width pd.cut with ``include_lowest``) or
+    "quantile" (pd.qcut); ``labels`` maps column -> bin label list.
+    Reference-exact (``utils/utils.py:224-296``, goldens v7).
     """
+    labels = labels or {}
     out = {}
     for col in data.columns:
         card = cardinality[col] if isinstance(cardinality, dict) else cardinality
+        col_labels = labels.get(col) if isinstance(labels, dict) else labels
         if method == "quantile":
-            binned = pd.qcut(data[col], q=card, labels=labels, duplicates="drop")
+            binned = pd.qcut(data[col], q=card, labels=col_labels)
         else:
-            binned = pd.cut(data[col], bins=card, labels=labels)
+            binned = pd.cut(
+                data[col], bins=card, include_lowest=True, labels=col_labels
+            )
         out[col] = binned
     return pd.DataFrame(out)
 

@@ -298,3 +298,13 @@ EDGE_STRENGTH_DAG = [
     ("E", "D"),
     ("C", "F"),
 ]
+
+
+def standalone_sample_jpd(jpd, n, seed):
+    """Deterministic rows from a joint distribution table (shared by the
+    v7 golden generator and tests): inverse-CDF over the raveled joint."""
+    rng = np.random.default_rng(seed)
+    flat = np.asarray(jpd.values, dtype=np.float64).ravel()
+    idx = rng.choice(flat.size, size=n, p=flat / flat.sum())
+    codes = np.stack(np.unravel_index(idx, jpd.cardinality), axis=1)
+    return pd.DataFrame(codes, columns=list(jpd.variables))

@@ -318,12 +318,21 @@ class TestPrediction:
         y = 2.0 * x + 1.5 * z + rng.normal(size=n) * 0.5
         data = pd.DataFrame({"x": x, "z": z})
         target = pd.Series(y)
-        graph = DAG([("z", "x"), ("z", "y"), ("x", "y")])
-        reg = NaiveAdjustmentRegressor(graph=graph, exposure="x", outcome="y")
+        graph = DAG(
+            [("z", "x"), ("z", "y"), ("x", "y")],
+            roles={"exposure": "x", "outcome": "y", "adjustment": ["z"]},
+        )
+        reg = NaiveAdjustmentRegressor(causal_graph=graph)
         reg.fit(data, target)
-        assert reg.adjustment_set_ == ["z"]
-        assert reg.causal_effect() == pytest.approx(2.0, abs=0.05)
+        assert reg.feature_columns_ == ["x", "z"]
+        # the exposure coefficient recovers the true causal effect
+        assert reg.estimator_.coef_[0] == pytest.approx(2.0, abs=0.05)
         assert reg.score(data, target) > 0.8
+        assert reg.explanation_.startswith("NaiveAdjustmentRegressor(exposure=x")
+        # roles only — no re-derivation: adjustment comes from the graph role
+        assert reg.adjustment_vars_ == ["z"]
+        preds = reg.predict(data)
+        assert preds.shape == (n,)
 
 
 class TestMplpTightening:
