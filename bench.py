@@ -60,16 +60,35 @@ def main():
     # numbers regressed ~2x under CPU contention)
     times.sort()
     steady = times[len(times) // 2]
+    steady_spread = {
+        "min": round(times[0], 4),
+        "median": round(steady, 4),
+        "max": round(times[-1], 4),
+    }
 
-    def median_time(fn, reps=3):
-        """Median wall time of ``fn(rep_index)`` — robust to machine noise."""
+    # per-metric spread so noise vs regression is decidable (VERDICT r3 #3)
+    spreads = {}
+
+    def median_time(fn, reps=3, key=None):
+        """Median wall time of ``fn(rep_index)`` — robust to machine noise.
+
+        When ``key`` is given, record min/median/max under that name so the
+        output carries dispersion, not just a point estimate.
+        """
         ts = []
         for i in range(reps):
             t0 = time.time()
             fn(i)
             ts.append(time.time() - t0)
         ts.sort()
-        return ts[len(ts) // 2]
+        med = ts[len(ts) // 2]
+        if key is not None:
+            spreads[key] = {
+                "min": round(ts[0], 5),
+                "median": round(med, 5),
+                "max": round(ts[-1], 5),
+            }
+        return med
 
     # secondary metrics: MUNIN BP query, ALARM VE query latency,
     # batched-predict throughput, sampling throughput
@@ -90,7 +109,7 @@ def main():
                 bp.query([bq_var], evidence={bq_ev: ev_state})
 
         secondary["munin_bp_query_ms"] = round(
-            median_time(bp_round, reps=3) / n_bq * 1000, 3
+            median_time(bp_round, reps=3, key="munin_bp_query") / n_bq * 1000, 3
         )
 
         alarm = get_example_model("alarm")
@@ -109,7 +128,7 @@ def main():
                 )
 
         secondary["alarm_ve_query_ms"] = round(
-            median_time(ve_round, reps=3) / n_q * 1000, 3
+            median_time(ve_round, reps=3, key="alarm_ve_query") / n_q * 1000, 3
         )
 
         # batched predict throughput (query_batch path; the reference
@@ -117,9 +136,11 @@ def main():
         # DiscreteBayesianNetwork.py:731-911)
         pred_df = alarm.simulate(n_samples=2000, seed=7, show_progress=False)
         pred_df = pred_df.drop(columns=["BP", "HISTORY"])
+        n_rows = len(pred_df)
         alarm.predict(pred_df)  # warm
-        t = median_time(lambda i: alarm.predict(pred_df), reps=3)
-        secondary["alarm_predict_rows_per_s"] = int(2000 / t)
+        t = median_time(lambda i: alarm.predict(pred_df), reps=3,
+                        key="alarm_predict")
+        secondary["alarm_predict_rows_per_s"] = int(n_rows / t)
 
         alarm.simulate(n_samples=100_000, seed=0, show_progress=False)  # warm
         t = median_time(
@@ -127,6 +148,7 @@ def main():
                 n_samples=100_000, seed=i + 1, show_progress=False
             ),
             reps=3,
+            key="alarm_forward",
         )
         secondary["alarm_forward_samples_per_s"] = int(100_000 / t)
 
@@ -141,13 +163,16 @@ def main():
                 gibbs.sample_chains(n_chains=10_000, size=20, seed=i + 1)
             ),
             reps=3,
+            key="alarm_gibbs",
         )
         secondary["alarm_gibbs_10k_chain_sweeps_per_s"] = int(20 * 10_000 / t)
 
         from pgmpy_tpu.sampling.nuts_jax import VectorizedNUTS
 
         ecoli = get_example_model("ecoli70")
-        _, mu, _ = ecoli.to_joint_gaussian()
+        # joint_gaussian() is the unrounded 3-tuple (to_joint_gaussian is the
+        # reference's 2-tuple public contract — r3's silent-unpack bug)
+        _, mu, _ = ecoli.joint_gaussian()
         nuts = VectorizedNUTS(ecoli, max_depth=6)
         # warm with IDENTICAL static shapes (scan length is baked into the
         # compiled program)
@@ -158,10 +183,25 @@ def main():
             lambda i: nuts.sample(mu.copy(), num_samples=120, num_adapt=20,
                                   stepsize=0.17, n_chains=1024, seed=i + 1),
             reps=3,
+            key="ecoli70_nuts",
         )
         secondary["ecoli70_nuts_samples_per_s"] = int(n_out / t)
     except Exception as e:  # secondary metrics must never fail the bench
         secondary["error"] = str(e)[:200]
+
+    # fail loudly on missing keys (r3 shipped with the NUTS metric silently
+    # dead): every expected secondary must be present or named in "missing"
+    expected = [
+        "munin_bp_query_ms",
+        "alarm_ve_query_ms",
+        "alarm_predict_rows_per_s",
+        "alarm_forward_samples_per_s",
+        "alarm_gibbs_10k_chain_sweeps_per_s",
+        "ecoli70_nuts_samples_per_s",
+    ]
+    missing = [k for k in expected if k not in secondary]
+    if missing:
+        secondary["missing"] = missing
 
     result = {
         "metric": "munin_bp_calibration_wall_time",
@@ -175,7 +215,9 @@ def main():
             "structure_compile_s": round(structure_s, 2),
             "first_calibrate_incl_xla_compile_s": round(first_s, 2),
             "baseline": "pgmpy-CPU calibrate() timed out at 3400s (lower bound)",
+            "steady_spread": steady_spread,
             "secondary": secondary,
+            "spreads": spreads,
         },
     }
     print(json.dumps(result))

@@ -68,18 +68,19 @@ class DAG(GraphRolesMixin, nx.DiGraph):
     # ------------------------------------------------------------------ #
     # structure edits
     # ------------------------------------------------------------------ #
-    def add_node(self, node, weight=None, latent=False):
+    def add_node(self, node, weight=None, latent=False, **attr):
         if isinstance(node, tuple) and len(node) == 2 and isinstance(node[1], dict):
             node, attrs = node
             if weight is not None:
                 attrs["weight"] = weight
         else:
             attrs = {"weight": weight}
+        attrs.update(attr)
         super().add_node(node, **attrs)
         if latent:
             self.with_role("latent", [node], inplace=True)
 
-    def add_nodes_from(self, nodes, weights=None, latent=False):
+    def add_nodes_from(self, nodes, weights=None, latent=False, **attr):
         nodes = list(nodes)
         if isinstance(latent, bool):
             latent = [latent] * len(nodes)
@@ -89,10 +90,10 @@ class DAG(GraphRolesMixin, nx.DiGraph):
                     "The number of elements in nodes and weights should be equal."
                 )
             for node, weight, lat in zip(nodes, weights, latent):
-                self.add_node(node, weight=weight, latent=lat)
+                self.add_node(node, weight=weight, latent=lat, **attr)
         else:
             for node, lat in zip(nodes, latent):
-                self.add_node(node, latent=lat)
+                self.add_node(node, latent=lat, **attr)
 
     def add_edge(self, u, v, weight=None):
         super().add_edge(u, v, weight=weight)

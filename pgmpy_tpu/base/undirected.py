@@ -13,18 +13,19 @@ class UndirectedGraph(nx.Graph):
         super().__init__(ebunch)
         self.latents = set(latents)
 
-    def add_node(self, node, weight=None, latent=False):
+    def add_node(self, node, weight=None, latent=False, **attr):
         if isinstance(node, tuple) and len(node) == 2 and isinstance(node[1], dict):
             node, attrs = node
             if weight is not None:
                 attrs["weight"] = weight
         else:
             attrs = {"weight": weight}
+        attrs.update(attr)
         if latent:
             self.latents.add(node)
         super().add_node(node, **attrs)
 
-    def add_nodes_from(self, nodes, weights=None, latent=False):
+    def add_nodes_from(self, nodes, weights=None, latent=False, **attr):
         nodes = list(nodes)
         if isinstance(latent, bool):
             latent = [latent] * len(nodes)
@@ -34,10 +35,10 @@ class UndirectedGraph(nx.Graph):
                     "The number of elements in nodes and weights should be equal."
                 )
             for node, weight, lat in zip(nodes, weights, latent):
-                self.add_node(node, weight=weight, latent=lat)
+                self.add_node(node, weight=weight, latent=lat, **attr)
         else:
             for node, lat in zip(nodes, latent):
-                self.add_node(node, latent=lat)
+                self.add_node(node, latent=lat, **attr)
 
     def add_edge(self, u, v, weight=None):
         super().add_edge(u, v, weight=weight)
@@ -63,7 +64,10 @@ class UndirectedGraph(nx.Graph):
         """True if the graph is chordal."""
         return nx.is_chordal(self)
 
-    def copy(self):
+    def copy(self, as_view=False):
+        if as_view:
+            # networkx read-only view semantics (nx.Graph.copy(as_view=True))
+            return super().copy(as_view=True)
         graph = UndirectedGraph()
         graph.add_nodes_from(self.nodes(data=True))
         graph.add_edges_from(self.edges(data=True))

@@ -219,15 +219,20 @@ class MarginalEstimator(BaseEstimator):
 
     def __init__(self, model, data, **kwargs):
         from pgmpy_tpu.factors.factor_dict import FactorDict
+        from pgmpy_tpu.models.factor_graph import FactorGraph
         from pgmpy_tpu.models.junction_tree import JunctionTree
         from pgmpy_tpu.models.markov_network import DiscreteMarkovNetwork
 
+        if isinstance(model, FactorGraph):
+            model = model.to_markov_model()
         if isinstance(model, DiscreteMarkovNetwork):
             model = model.to_junction_tree()
         if not isinstance(model, JunctionTree):
             raise ValueError(
-                f"model must be a DiscreteMarkovNetwork or JunctionTree. Got {type(model)}"
+                "model must be a DiscreteMarkovNetwork, FactorGraph or "
+                f"JunctionTree. Got {type(model)}"
             )
+        self.theta = None
         self.belief_propagation = None
         self.model = model
         super().__init__(data=data, **kwargs)

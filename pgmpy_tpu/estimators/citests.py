@@ -43,6 +43,21 @@ def get_callable_ci_test(ci_test, data=None):
         if ci_test not in tests:
             raise ValueError(f"Unknown ci_test: {ci_test}. Options: {sorted(tests)}")
         return tests[ci_test]
+    if ci_test is None:
+        # infer a suitable default from the data's variable types
+        # (ref CITests.py:46-55: continuous->pearsonr, discrete->chi_square,
+        # mixed->pillai)
+        if data is None:
+            raise ValueError(
+                "Cannot determine a suitable CI test as data is None."
+            )
+        from pgmpy_tpu.utils.utils import get_dataset_type
+
+        return {
+            "continuous": pearsonr,
+            "discrete": chi_square,
+            "mixed": pillai_trace,
+        }[get_dataset_type(data)]
     raise ValueError("ci_test must be a string or callable")
 
 

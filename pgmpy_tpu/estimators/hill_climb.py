@@ -133,7 +133,11 @@ class HillClimbSearch(StructureEstimator):
         )
         if expert_knowledge is not None:
             # reference API (ref HillClimbSearch.py:146,231-246): required
-            # edges seed the start DAG, forbidden edges never appear
+            # edges seed the start DAG, forbidden edges never appear;
+            # temporal tiers forbid every later->earlier pair
+            expert_knowledge._orient_temporal_forbidden_edges(
+                start_dag, only_edges=False
+            )
             ek_black, ek_white = expert_knowledge.limit_search_space(
                 self.variables
             )

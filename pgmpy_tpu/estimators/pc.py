@@ -22,6 +22,7 @@ class PC(BaseConstraintEstimator):
         significance_level=0.01,
         max_cond_vars=5,
         expert_knowledge=None,
+        enforce_expert_knowledge=False,
         n_jobs=1,
         show_progress=True,
         **kwargs,
@@ -44,10 +45,29 @@ class PC(BaseConstraintEstimator):
         if return_type.lower() == "skeleton":
             return skel, separating_sets
 
-        pdag = self.orient_colliders(skel, separating_sets)
-        pdag = pdag.apply_meeks_rules(apply_r4=True)
-        if expert_knowledge is not None:
+        # orientation flow mirrors the reference (PC.py:262-281): temporal
+        # tiers gate the collider rule, and the order of Meek rules vs
+        # expert-knowledge application depends on whether tiers/enforcement
+        # are in play
+        temporal_ordering = (
+            expert_knowledge.temporal_ordering if expert_knowledge is not None else {}
+        )
+        pdag = self.orient_colliders(skel, separating_sets, temporal_ordering)
+        if expert_knowledge is not None and expert_knowledge.temporal_order:
             pdag = expert_knowledge.apply_expert_knowledge(pdag)
+            pdag = pdag.apply_meeks_rules(apply_r4=True)
+        elif not enforce_expert_knowledge:
+            pdag = pdag.apply_meeks_rules(apply_r4=False)
+            if expert_knowledge is not None:
+                pdag = expert_knowledge.apply_expert_knowledge(pdag)
+            pdag = pdag.apply_meeks_rules(apply_r4=True)
+        else:
+            pdag = pdag.apply_meeks_rules(apply_r4=False)
+            if expert_knowledge is not None:
+                pdag = expert_knowledge.apply_expert_knowledge(pdag)
+
+        if self.data is not None:
+            pdag.add_nodes_from(set(self.data.columns) - set(pdag.nodes()))
 
         if return_type.lower() in ("pdag", "cpdag"):
             return pdag
@@ -58,9 +78,12 @@ class PC(BaseConstraintEstimator):
         )
 
     @staticmethod
-    def orient_colliders(skeleton, separating_sets):
+    def orient_colliders(skeleton, separating_sets, temporal_ordering=None):
         """Orient unshielded triples X - Z - Y as X -> Z <- Y whenever Z is
-        not in sepset(X, Y)."""
+        not in sepset(X, Y).  With temporal tiers, a collider at Z is only
+        oriented if Z's tier is no earlier than both X's and Y's (reference
+        ``PC.py:292-360``)."""
+        temporal_ordering = temporal_ordering or {}
         pdag = PDAG(undirected_ebunch=list(skeleton.edges()))
         pdag.add_nodes_from(skeleton.nodes())
         node_pairs = list(nx.non_edges(skeleton))
@@ -70,6 +93,11 @@ class PC(BaseConstraintEstimator):
             sep_set = set(separating_sets[frozenset((u, v))])
             for z in set(skeleton.neighbors(u)) & set(skeleton.neighbors(v)):
                 if z not in sep_set:
+                    if temporal_ordering and not (
+                        temporal_ordering[z] >= temporal_ordering[u]
+                        and temporal_ordering[z] >= temporal_ordering[v]
+                    ):
+                        continue
                     if pdag.has_undirected_edge(u, z):
                         pdag.orient_undirected_edge(u, z, inplace=True)
                     if pdag.has_undirected_edge(v, z):

@@ -14,7 +14,12 @@ from pgmpy_tpu.factors.factor_set import (
 from pgmpy_tpu.factors.jpd import JointProbabilityDistribution
 from pgmpy_tpu.factors.continuous import LinearGaussianCPD
 from pgmpy_tpu.factors.noisy_or import NoisyORCPD
-from pgmpy_tpu.factors.hybrid import FunctionalCPD
+from pgmpy_tpu.factors.hybrid import (
+    FunctionalCPD,
+    clear_param_store,
+    get_param_store,
+    param,
+)
 
 __all__ = [
     "DiscreteFactor",
@@ -31,4 +36,7 @@ __all__ = [
     "LinearGaussianCPD",
     "NoisyORCPD",
     "FunctionalCPD",
+    "param",
+    "get_param_store",
+    "clear_param_store",
 ]

@@ -14,6 +14,11 @@ import numpy as np
 
 
 class Distribution:
+    #: support tag consumed by the MCMC reparametrization in
+    #: FunctionalBayesianNetwork.fit: "real", "positive", or
+    #: ("interval", low, high)
+    support = "real"
+
     def sample(self, key, shape=()):
         raise NotImplementedError
 
@@ -35,6 +40,8 @@ class Normal(Distribution):
 
 
 class LogNormal(Distribution):
+    support = "positive"
+
     def __init__(self, loc, scale):
         self.loc = loc
         self.scale = scale
@@ -49,6 +56,8 @@ class LogNormal(Distribution):
 
 
 class Exponential(Distribution):
+    support = "positive"
+
     def __init__(self, rate):
         self.rate = rate
 
@@ -60,6 +69,8 @@ class Exponential(Distribution):
 
 
 class Gamma(Distribution):
+    support = "positive"
+
     def __init__(self, concentration, rate):
         self.concentration = concentration
         self.rate = rate
@@ -78,6 +89,8 @@ class Gamma(Distribution):
 
 
 class Beta(Distribution):
+    support = ("interval", 0.0, 1.0)
+
     def __init__(self, a, b):
         self.a = a
         self.b = b
@@ -113,6 +126,7 @@ class Uniform(Distribution):
     def __init__(self, low=0.0, high=1.0):
         self.low = low
         self.high = high
+        self.support = ("interval", float(low), float(high))
 
     def sample(self, key, shape=()):
         return jax.random.uniform(key, shape, minval=self.low, maxval=self.high)
@@ -120,3 +134,24 @@ class Uniform(Distribution):
     def log_prob(self, x):
         inside = (x >= self.low) & (x <= self.high)
         return jnp.where(inside, -jnp.log(self.high - self.low), -jnp.inf)
+
+
+class HalfNormal(Distribution):
+    """|N(0, scale)| — the standard scale prior in the reference's
+    FunctionalBN docstrings."""
+
+    support = "positive"
+
+    def __init__(self, scale):
+        self.scale = scale
+
+    def sample(self, key, shape=()):
+        return jnp.abs(self.scale * jax.random.normal(key, shape))
+
+    def log_prob(self, x):
+        z = x / self.scale
+        return (
+            0.5 * jnp.log(2.0 / jnp.pi)
+            - jnp.log(self.scale)
+            - 0.5 * z**2
+        )

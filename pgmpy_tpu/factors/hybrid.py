@@ -9,6 +9,65 @@ simulation and log-likelihoods stay vmap-compatible.
 import numpy as np
 
 import jax
+import jax.numpy as jnp
+
+
+class _ParamStore:
+    """pyro-param-store analogue for SVI-style fitting.
+
+    CPD functions declare learnable parameters with :func:`param`; during
+    ``FunctionalBayesianNetwork.fit(estimator="SVI")`` the store is switched
+    to "collect" (gather names/inits/constraints by tracing each CPD once)
+    and then "apply" (feed optimizer-controlled values into the same trace).
+    Outside a fit, :func:`param` returns the last fitted value, so
+    ``simulate()`` after ``fit()`` uses the learned parameters — the same
+    global-store behavior reference scripts rely on
+    (``FunctionalBayesianNetwork.py:525-528``).
+    """
+
+    def __init__(self):
+        self.mode = None  # None | "collect" | "apply"
+        self.values = {}
+        self.inits = {}
+        self.constraints = {}
+
+
+_PARAM_STORE = _ParamStore()
+
+
+def param(name, init=None, constraint=None, **kwargs):
+    """Declare/fetch a named learnable parameter (pyro.param shape).
+
+    ``constraint``: anything whose string form contains "positive" (e.g.
+    ``torch.distributions.constraints.positive``) selects a softplus
+    parametrization during optimization.
+    """
+    st = _PARAM_STORE
+    if st.mode == "collect":
+        if name not in st.inits:
+            if init is None:
+                raise ValueError(f"param {name!r} needs an init value")
+            st.inits[name] = jnp.asarray(init)
+            st.constraints[name] = constraint
+        return st.inits[name]
+    if st.mode == "apply":
+        return st.values[name]
+    if name in st.values:
+        return st.values[name]
+    if init is None:
+        raise KeyError(f"param {name!r} has no stored value and no init")
+    return jnp.asarray(init)
+
+
+def get_param_store():
+    """Current fitted parameter values, {name: array}."""
+    return dict(_PARAM_STORE.values)
+
+
+def clear_param_store():
+    _PARAM_STORE.values.clear()
+    _PARAM_STORE.inits.clear()
+    _PARAM_STORE.constraints.clear()
 
 
 class FunctionalCPD:

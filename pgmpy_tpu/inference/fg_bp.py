@@ -26,10 +26,19 @@ class BeliefPropagationWithMessagePassing:
         self.factors = list(model.factors)
         self.cardinality = model.get_cardinality()
 
-    def _run_flooding(self, fixed_var_messages, max_iter=100, tol=1e-8):
+    def _message_key(self, fi, var):
+        """Reference-compatible message key (ExactInference.py:1447):
+        ``"[factor variables] -> variable"``."""
+        return f"{list(self.factors[fi].variables)} -> {var}"
+
+    def _run_flooding(self, fixed_var_messages, max_iter=100, tol=1e-8,
+                      precomp_messages=None):
         """Synchronous message passing.  ``fixed_var_messages``: {var:
         ndarray} external (evidence/virtual-evidence) messages multiplied
-        into every var->factor message and final beliefs."""
+        into every var->factor message and final beliefs.
+        ``precomp_messages`` warm-starts the factor->variable messages (a
+        converged set from a previous ``query(get_messages=True)`` makes the
+        sweep converge immediately on trees)."""
         import numpy as np
 
         # message containers keyed by (factor_idx, var)
@@ -38,7 +47,15 @@ class BeliefPropagationWithMessagePassing:
         factor_scopes = [list(f.variables) for f in self.factors]
         for fi, scope in enumerate(factor_scopes):
             for var in scope:
-                f2v[(fi, var)] = np.ones(self.cardinality[var]) / self.cardinality[var]
+                key = self._message_key(fi, var)
+                if precomp_messages and key in precomp_messages:
+                    f2v[(fi, var)] = np.asarray(
+                        precomp_messages[key], dtype=np.float64
+                    )
+                else:
+                    f2v[(fi, var)] = (
+                        np.ones(self.cardinality[var]) / self.cardinality[var]
+                    )
                 v2f[(fi, var)] = np.ones(self.cardinality[var]) / self.cardinality[var]
 
         factor_values = [np.asarray(f.values, dtype=np.float64) for f in self.factors]
@@ -117,9 +134,12 @@ class BeliefPropagationWithMessagePassing:
         out = moved
         return out / out.sum()
 
-    def query(self, variables, evidence=None, virtual_evidence=None, get_messages=False):
+    def query(self, variables, evidence=None, virtual_evidence=None,
+              get_messages=False, precomp_messages=None):
         """Marginal beliefs of ``variables`` given point-mass evidence and
-        virtual-evidence messages."""
+        virtual-evidence messages.  ``precomp_messages`` (reference
+        ``ExactInference.py:1366``) reuses factor->variable messages from a
+        previous ``get_messages=True`` call across queries."""
         evidence = evidence or {}
         if set(variables) & set(evidence):
             raise ValueError(
@@ -134,7 +154,7 @@ class BeliefPropagationWithMessagePassing:
             message = np.asarray(virt.values, dtype=np.float64).ravel()
             fixed[var] = fixed.get(var, 1.0) * message
 
-        f2v = self._run_flooding(fixed)
+        f2v = self._run_flooding(fixed, precomp_messages=precomp_messages)
 
         results = {}
         factor_scopes = [list(f.variables) for f in self.factors]
@@ -155,5 +175,8 @@ class BeliefPropagationWithMessagePassing:
                 [var], [self.cardinality[var]], belief, state_names=state_names
             )
         if get_messages:
-            return results, f2v
+            messages = {
+                self._message_key(fi, var): msg for (fi, var), msg in f2v.items()
+            }
+            return results, messages
         return results

@@ -200,11 +200,17 @@ class DiscreteBayesianNetwork(DAG):
         self.add_cpds(*cpds_list)
         return self
 
-    def predict(self, data, stochastic=False, n_jobs=1, seed=None):
+    def predict(self, data, algo=None, stochastic=False, n_jobs=1, seed=None, **kwargs):
         """Impute the missing columns of ``data``: the joint posterior over
         the missing variables is computed for ALL rows in one batched
         contraction (``VariableElimination.query_batch``), then argmax
-        (MAP) or categorical sampling per row."""
+        (MAP) or categorical sampling per row.
+
+        ``algo`` picks the inference class (reference contract,
+        ``DiscreteBayesianNetwork.py:731-749``); the default
+        VariableElimination rides the batched device path, any other class
+        queries per unique row with ``**kwargs`` forwarded.
+        """
         from pgmpy_tpu.inference.ve import VariableElimination
 
         if set(data.columns) == set(self.nodes()):
@@ -212,6 +218,11 @@ class DiscreteBayesianNetwork(DAG):
         elif set(data.columns) - set(self.nodes()):
             raise ValueError("Data has variables which are not in the model")
         missing_variables = sorted(set(self.nodes()) - set(data.columns), key=str)
+
+        if algo is not None and algo is not VariableElimination:
+            return self._predict_with_algo(
+                data, algo, missing_variables, stochastic, seed, **kwargs
+            )
 
         infer = VariableElimination(self)
         evidence = {col: data[col].tolist() for col in data.columns}
@@ -237,6 +248,40 @@ class DiscreteBayesianNetwork(DAG):
         out = {}
         for j, var in enumerate(missing_variables):
             out[var] = [state_names[var][c] for c in codes[:, j]]
+        return pd.DataFrame(out, index=data.index)
+
+    def _predict_with_algo(self, data, algo, missing_variables, stochastic, seed, **kwargs):
+        """Per-unique-row prediction through a user-chosen inference class
+        (BeliefPropagation, ApproxInference, ...).  The reference fans the
+        unique rows over a joblib pool (``DiscreteBayesianNetwork.py:830-870``);
+        here each unique row is one query against the chosen engine, memoized
+        across duplicate rows."""
+        infer = algo(self)
+        rng = np.random.default_rng(seed)
+        unique = data.drop_duplicates()
+        row_to_pred = {}
+        for _, row in unique.iterrows():
+            evidence = row.to_dict()
+            joint = infer.query(
+                missing_variables, evidence=evidence, show_progress=False, **kwargs
+            )
+            order = [joint.variables.index(v) for v in missing_variables]
+            values = np.asarray(joint.values, dtype=np.float64).transpose(order)
+            flat = values.reshape(-1)
+            if stochastic:
+                pick = rng.choice(flat.size, p=flat / flat.sum())
+            else:
+                pick = int(flat.argmax())
+            codes = np.unravel_index(pick, values.shape)
+            row_to_pred[tuple(row)] = {
+                v: joint.state_names[v][c]
+                for v, c in zip(missing_variables, codes)
+            }
+        out = {v: [] for v in missing_variables}
+        for _, row in data.iterrows():
+            pred = row_to_pred[tuple(row)]
+            for v in missing_variables:
+                out[v].append(pred[v])
         return pd.DataFrame(out, index=data.index)
 
     def predict_probability(self, data):

@@ -142,12 +142,112 @@ class LinearGaussianBayesianNetwork(DAG):
         )
         return float(np.sum(ll))
 
-    def simulate(self, n_samples=1000, seed=None):
-        """Draw joint-normal samples; returns a DataFrame."""
-        variables, mean, cov = self.joint_gaussian()
+    def _do_surgery(self, do):
+        """Hard intervention: cut incoming edges of each do-node, fold its
+        fixed value into every child's intercept, and drop the node.  Returns
+        the mutilated copy (reference semantics,
+        ``LinearGaussianBayesianNetwork.py:449-483``)."""
+        model = self.copy()
+        for var, val in do.items():
+            for parent in list(model.get_parents(var)):
+                model.remove_edge(parent, var)
+            model.remove_cpds(model.get_cpds(var))
+            for child in model.get_children(var):
+                cpd = model.get_cpds(child)
+                ev = list(cpd.evidence)
+                beta = list(cpd.beta)
+                idx = ev.index(var)
+                beta[0] += beta[idx + 1] * val
+                del ev[idx]
+                del beta[idx + 1]
+                model.remove_cpds(cpd)
+                model.add_cpds(
+                    LinearGaussianCPD(cpd.variable, beta, cpd.std, evidence=ev)
+                )
+            model.remove_node(var)
+        return model
+
+    def simulate(
+        self,
+        n_samples=1000,
+        do=None,
+        evidence=None,
+        virtual_intervention=None,
+        include_latents=False,
+        seed=None,
+    ):
+        """Draw joint-normal samples, optionally under hard (``do``) / soft
+        (``virtual_intervention``) interventions and Gaussian conditioning on
+        ``evidence``.  Returns a DataFrame.  Parity:
+        ``LinearGaussianBayesianNetwork.py:342-538`` — do-surgery mutilates
+        the graph, evidence conditions the implied joint, do-columns come
+        back as constants, latents are dropped unless requested.
+        """
+        do = {} if do is None else do
+        evidence = {} if evidence is None else evidence
+        virtual_intervention = virtual_intervention or []
+
+        bad = set(do) - set(self.nodes())
+        if bad:
+            raise ValueError(
+                f"The following do-nodes are not present in the model: {bad}"
+            )
+        bad = set(evidence) - set(self.nodes())
+        if bad:
+            raise ValueError(
+                f"The following evidence-nodes are not present in the model: {bad}"
+            )
+        common = set(do) & set(evidence)
+        if common:
+            raise ValueError(
+                f"Variable(s) can't be in both do and evidence: {', '.join(common)}"
+            )
+        for cpd in virtual_intervention:
+            if cpd.variable not in self.nodes():
+                raise ValueError(
+                    "Virtual intervention provided for variable which is not "
+                    f"in the model: {cpd.variable}"
+                )
+
+        self.check_model()
+        model = self._do_surgery(do) if do else self.copy()
+        for cpd in virtual_intervention:
+            model.remove_cpds(model.get_cpds(cpd.variable))
+            model.add_cpds(cpd)
+            for parent in list(model.get_parents(cpd.variable)):
+                model.remove_edge(parent, cpd.variable)
+
+        variables, mean, cov = model.joint_gaussian()
         rng = np.random.default_rng(seed)
-        samples = rng.multivariate_normal(mean, cov, size=int(n_samples))
-        return pd.DataFrame(samples, columns=variables)
+
+        if not evidence:
+            df = pd.DataFrame(
+                rng.multivariate_normal(mean, cov, size=int(n_samples)),
+                columns=variables,
+            )
+        else:
+            missing, cond_mean, cond_cov = model.predict(
+                pd.DataFrame([evidence])
+            )
+            order = np.argsort(missing)
+            missing = [missing[i] for i in order]
+            cond_mean = cond_mean[:, order]
+            cond_cov = cond_cov[np.ix_(order, order)]
+            draws = rng.multivariate_normal(
+                cond_mean[0], cond_cov, size=int(n_samples)
+            )
+            df = pd.DataFrame(index=range(int(n_samples)), columns=variables)
+            for ev_var, ev_val in evidence.items():
+                df[ev_var] = ev_val
+            for j, mv in enumerate(missing):
+                df[mv] = draws[:, j]
+            df = df[variables].astype(np.float64)
+
+        for do_var, do_val in do.items():
+            df[do_var] = do_val
+        if not include_latents:
+            df = df.drop(columns=[c for c in self.latents if c in df.columns])
+        return df
 
     def fit(self, data, estimator="mle", std_estimator="unbiased", method=None):
         """Node-wise OLS: per-node linear regression of the variable on its

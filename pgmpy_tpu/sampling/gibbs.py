@@ -126,6 +126,7 @@ class GibbsSampling(MarkovChain):
             raise ValueError(
                 f"model must be a DiscreteBayesianNetwork or DiscreteMarkovNetwork. Got {type(model)}"
             )
+        self.latents = set(getattr(model, "latents", set()) or set())
         self.cardinalities = {v: int(cards[v]) for v in self.variables}
         self.transition_models = {v: {} for v in self.variables}
         self._compiled = CompiledGibbs(factors, self.variables, cards, state_names)
@@ -176,9 +177,16 @@ class GibbsSampling(MarkovChain):
         traj = self._compiled._run(key, int(size), jnp.asarray(init))
         return traj[::thin]
 
-    def generate_sample(self, start_state=None, size=1, seed=None):
+    def generate_sample(self, start_state=None, size=1, include_latents=False, seed=None):
+        """Generator over sweeps (reference ``Sampling.py:587-633``);
+        ``include_latents=False`` drops latent variables from each yielded
+        assignment."""
         df = self.sample(start_state=start_state, size=size, seed=seed)
         from pgmpy_tpu.factors.discrete import State
 
+        latents = getattr(self, "latents", set()) or set()
+        keep = [
+            v for v in self.variables if include_latents or v not in latents
+        ]
         for _, row in df.iterrows():
-            yield [State(v, int(row[v])) for v in self.variables]
+            yield [State(v, int(row[v])) for v in keep]

@@ -295,25 +295,31 @@ class NoUTurnSampler(HamiltonianMC):
 
         self._leap = _leap
 
-    def _build_tree(self, q, p, g, log_u, v, depth, eps, rng):
-        """Returns (q-, p-, g-, q+, p+, g+, q', n', s')."""
+    def _build_tree(self, q, p, g, log_u, v, depth, eps, rng, joint0=0.0):
+        """Returns (q-, p-, g-, q+, p+, g+, q', n', s', alpha', n_alpha').
+
+        alpha'/n_alpha' are the Hoffman & Gelman Alg. 6 acceptance
+        statistics consumed by dual averaging — the per-leaf
+        ``min(1, exp(joint - joint0))`` sum and leaf count.
+        """
         if depth == 0:
             q1, p1, g1, logp1 = self._leap(q, p, g, v * eps)
             joint = float(logp1) - 0.5 * float(jnp.sum(p1**2))
             n1 = int(log_u <= joint)
             s1 = int(log_u < joint + 1000.0)
-            return q1, p1, g1, q1, p1, g1, q1, n1, s1
-        (qm, pm, gm, qp, pp, gp, q1, n1, s1) = self._build_tree(
-            q, p, g, log_u, v, depth - 1, eps, rng
+            alpha1 = min(1.0, np.exp(min(joint - joint0, 0.0))) if np.isfinite(joint) else 0.0
+            return q1, p1, g1, q1, p1, g1, q1, n1, s1, alpha1, 1
+        (qm, pm, gm, qp, pp, gp, q1, n1, s1, a1, na1) = self._build_tree(
+            q, p, g, log_u, v, depth - 1, eps, rng, joint0
         )
         if s1 == 1:
             if v == -1:
-                qm, pm, gm, _, _, _, q2, n2, s2 = self._build_tree(
-                    qm, pm, gm, log_u, v, depth - 1, eps, rng
+                qm, pm, gm, _, _, _, q2, n2, s2, a2, na2 = self._build_tree(
+                    qm, pm, gm, log_u, v, depth - 1, eps, rng, joint0
                 )
             else:
-                _, _, _, qp, pp, gp, q2, n2, s2 = self._build_tree(
-                    qp, pp, gp, log_u, v, depth - 1, eps, rng
+                _, _, _, qp, pp, gp, q2, n2, s2, a2, na2 = self._build_tree(
+                    qp, pp, gp, log_u, v, depth - 1, eps, rng, joint0
                 )
             if n1 + n2 > 0 and rng.random() < n2 / (n1 + n2):
                 q1 = q2
@@ -324,9 +330,11 @@ class NoUTurnSampler(HamiltonianMC):
                 * int(float(diff @ pp) >= 0)
             )
             n1 = n1 + n2
-        return qm, pm, gm, qp, pp, gp, q1, n1, s1
+            a1, na1 = a1 + a2, na1 + na2
+        return qm, pm, gm, qp, pp, gp, q1, n1, s1, a1, na1
 
-    def _nuts_step(self, position, eps, rng):
+    def _nuts_step_stats(self, position, eps, rng):
+        """One NUTS transition; returns (new_position, alpha, n_alpha)."""
         p0 = rng.normal(size=position.shape)
         g0 = np.asarray(self._grad(jnp.asarray(position)))
         joint0 = float(self.log_pdf(jnp.asarray(position))) - 0.5 * float(p0 @ p0)
@@ -337,24 +345,29 @@ class NoUTurnSampler(HamiltonianMC):
         gm = gp = jnp.asarray(g0)
         q_out = jnp.asarray(position)
         n, s, depth = 1, 1, 0
-        alpha_stats = None
+        alpha, n_alpha = 0.0, 1
         while s == 1 and depth < self.max_depth:
             v = -1 if rng.random() < 0.5 else 1
             if v == -1:
-                qm, pm, gm, _, _, _, q1, n1, s1 = self._build_tree(
-                    qm, pm, gm, log_u, v, depth, eps, rng
+                qm, pm, gm, _, _, _, q1, n1, s1, a1, na1 = self._build_tree(
+                    qm, pm, gm, log_u, v, depth, eps, rng, joint0
                 )
             else:
-                _, _, _, qp, pp, gp, q1, n1, s1 = self._build_tree(
-                    qp, pp, gp, log_u, v, depth, eps, rng
+                _, _, _, qp, pp, gp, q1, n1, s1, a1, na1 = self._build_tree(
+                    qp, pp, gp, log_u, v, depth, eps, rng, joint0
                 )
             if s1 == 1 and rng.random() < min(1.0, n1 / max(n, 1)):
                 q_out = q1
             n += n1
+            alpha, n_alpha = a1, na1  # stats from the LAST doubling (Alg. 6)
             diff = qp - qm
             s = s1 * int(float(diff @ pm) >= 0) * int(float(diff @ pp) >= 0)
             depth += 1
-        return np.asarray(q_out)
+        return np.asarray(q_out), alpha, max(n_alpha, 1)
+
+    def _nuts_step(self, position, eps, rng):
+        q, _, _ = self._nuts_step_stats(position, eps, rng)
+        return q
 
     def sample(self, initial_pos, num_samples, stepsize=None, seed=None, return_type="dataframe"):
         position = np.asarray(initial_pos, dtype=np.float64)
@@ -399,12 +412,11 @@ class NoUTurnSamplerDA(NoUTurnSampler):
         log_eps_bar, h_bar = 0.0, 0.0
         gamma, t0, kappa = 0.05, 10.0, 0.75
         for m in range(1, int(num_adapt) + 1):
-            pos_before = position
-            position = self._nuts_step(position, stepsize, rng)
-            # acceptance statistic proxy: MH ratio of end-to-end energies
-            logp_new = float(self.log_pdf(jnp.asarray(position)))
-            logp_old = float(self.log_pdf(jnp.asarray(pos_before)))
-            rate = min(1.0, np.exp(logp_new - logp_old)) if np.isfinite(logp_new) else 0.0
+            # Alg. 6 acceptance statistic: mean leaf MH ratio from the tree
+            # (the old end-to-end log-prob proxy saturated at 1.0 once in
+            # the typical set, driving the stepsize to infinity)
+            position, alpha, n_alpha = self._nuts_step_stats(position, stepsize, rng)
+            rate = alpha / n_alpha
             h_bar = (1 - 1 / (m + t0)) * h_bar + (self.delta - rate) / (m + t0)
             log_eps = mu - np.sqrt(m) / gamma * h_bar
             eta = m**-kappa

@@ -125,10 +125,58 @@ def discretize(data, cardinality, labels=None, method="rounding"):
     return pd.DataFrame(out)
 
 
-def llm_pairwise_orient(*args, **kwargs):
-    raise NotImplementedError(
-        "LLM-based edge orientation requires network access (litellm); "
-        "provide an `orient_fn` callback to ExpertInLoop instead."
+def llm_pairwise_orient(
+    x,
+    y,
+    descriptions,
+    system_prompt=None,
+    llm_model="gemini/gemini-1.5-flash",
+    completion_fn=None,
+    **kwargs,
+):
+    """Ask an LLM for the orientation of an edge between ``x`` and ``y``.
+
+    litellm-shaped adapter (reference ``utils/utils.py:297-376``): builds the
+    same two-option prompt and parses the same 1/2 answer.  The transport is
+    injectable — ``completion_fn(model=..., messages=[...])`` must return an
+    object with ``.choices[0].message.content`` (litellm/OpenAI response
+    shape).  Without ``completion_fn`` it imports litellm, so reference
+    scripts port unchanged where litellm is installed.
+    """
+    if completion_fn is None:
+        try:
+            from litellm import completion as completion_fn
+        except ImportError as e:
+            raise ImportError(
+                f"{e}. litellm is required for using LLM based pairwise "
+                "orientation. Please install using: pip install litellm "
+                "(or pass completion_fn=... to inject a transport)."
+            ) from None
+
+    if system_prompt is None:
+        system_prompt = "You are an expert in Causal Inference"
+    prompt = f""" {system_prompt}. You are
+      given two variables with the following descriptions:
+        <A>: {descriptions[x]}
+        <B>: {descriptions[y]}
+
+        Which of the following two options is the most likely causal direction between them:
+        1. <A> causes <B>
+        2. <B> causes <A>
+
+        Return a single number (1 or 2) as your answer. I do not need the reasoning behind it.
+        Do not add any formatting in the answer.
+        """
+    response = completion_fn(
+        model=llm_model, messages=[{"role": "user", "content": prompt}]
+    )
+    response_txt = response.choices[0].message.content.strip().lower().replace("*", "")
+    if response_txt in ("a", "1"):
+        return (x, y)
+    elif response_txt in ("b", "2"):
+        return (y, x)
+    raise ValueError(
+        "Results from the LLM are unclear. Try calling the function again."
     )
 
 

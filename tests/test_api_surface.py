@@ -230,11 +230,29 @@ class TestRound2SurfaceAdditions:
         assert manual_pairwise_orient("x", "y") == ("y", "x")
         assert manual_pairwise_orient("x", "y") is None
 
-    def test_llm_pairwise_orient_raises(self):
+    def test_llm_pairwise_orient_injectable_transport(self):
+        # litellm-shaped adapter: transport injectable, 1/2 answer parsed
+        from types import SimpleNamespace
+
         from pgmpy_tpu.utils import llm_pairwise_orient
 
-        with pytest.raises(NotImplementedError):
-            llm_pairwise_orient("x", "y")
+        prompts = []
+
+        def fake_completion(model, messages):
+            prompts.append(messages[0]["content"])
+            return SimpleNamespace(
+                choices=[SimpleNamespace(message=SimpleNamespace(content="2"))]
+            )
+
+        out = llm_pairwise_orient(
+            "x", "y", {"x": "var x", "y": "var y"},
+            completion_fn=fake_completion,
+        )
+        assert out == ("y", "x")
+        assert "var x" in prompts[0] and "var y" in prompts[0]
+        # without a transport and without litellm installed -> ImportError
+        with pytest.raises(ImportError):
+            llm_pairwise_orient("x", "y", {"x": "a", "y": "b"})
 
     def test_functional_bn_inherits_discrete_surface(self):
         from pgmpy_tpu.models import (

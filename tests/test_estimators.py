@@ -292,6 +292,14 @@ class TestStructureLearning:
 
     def test_expert_knowledge_temporal(self):
         ek = ExpertKnowledge(temporal_order=[["a"], ["b"]])
+        # lazy like the reference: tiers populate forbidden_edges only via
+        # _orient_temporal_forbidden_edges (ExpertKnowledge.py:183-216)
+        assert ek.forbidden_edges == set()
+        from pgmpy_tpu.base.dag import DAG
+
+        g = DAG()
+        g.add_nodes_from(["a", "b"])
+        ek._orient_temporal_forbidden_edges(g, only_edges=False)
         assert ("b", "a") in ek.forbidden_edges
         black, white = ek.limit_search_space(["a", "b"])
         assert ("b", "a") in black

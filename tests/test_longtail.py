@@ -219,7 +219,7 @@ class TestMirrorDescent:
         mn = DiscreteMarkovNetwork([("a", "b")])
         mn.add_factors(DiscreteFactor(["a", "b"], [2, 2], np.ones(4)))
         est = MirrorDescentEstimator(mn, data)
-        jt = est.estimate(iterations=300, stepsize=2.0)
+        jt = est.estimate(iterations=300, show_progress=False)
         bp = est.belief_propagation
         clique = next(iter(bp.clique_beliefs))
         model_marg = np.asarray(
@@ -249,8 +249,7 @@ class TestMirrorDescent:
             DiscreteFactor(["b", "c"], [2, 2], np.ones(4)),
         )
         est = MirrorDescentEstimator(jt, data=df)
-        est.estimate(estimate_type="L1", iterations=400, stepsize=0.5,
-                     show_progress=False)
+        est.estimate(metric="L1", iterations=400, show_progress=False)
         bp = est.belief_propagation
         for clique, belief in bp.clique_beliefs.items():
             model_marg = np.asarray(belief.normalize(inplace=False).values,
@@ -282,7 +281,7 @@ class TestMirrorDescent:
             JunctionTreeProgram, "executor",
             side_effect=JunctionTreeProgram.executor, autospec=True,
         ) as spy:
-            est.estimate(iterations=25, stepsize=1.0, show_progress=False)
+            est.estimate(iterations=25, show_progress=False)
         # once for the loop + once for the final calibrated BP
         assert spy.call_count <= 3
 
