@@ -186,6 +186,33 @@ def main():
             key="ecoli70_nuts",
         )
         secondary["ecoli70_nuts_samples_per_s"] = int(n_out / t)
+
+        # structure learning on device (r4): PC skeleton + HillClimb on
+        # sampled ALARM data — one batched count dispatch per level /
+        # iteration (reference fans these out over joblib workers,
+        # BaseConstraintEstimator.py:264, HillClimbSearch.py:63-140)
+        from pgmpy_tpu.estimators import PC, HillClimbSearch
+
+        sl_df = alarm.simulate(n_samples=2000, seed=3, show_progress=False)
+        pc_est = PC(sl_df)
+        pc_est.build_skeleton(ci_test="chi_square", max_cond_vars=1)  # warm
+        t = median_time(
+            lambda i: PC(sl_df).build_skeleton(
+                ci_test="chi_square", max_cond_vars=2
+            ),
+            reps=3,
+            key="alarm_pc_skeleton",
+        )
+        secondary["alarm_pc_skeleton_s"] = round(t, 3)
+
+        t = median_time(
+            lambda i: HillClimbSearch(sl_df).estimate(
+                scoring_method="bic-d", show_progress=False
+            ),
+            reps=3,
+            key="alarm_hillclimb",
+        )
+        secondary["alarm_hillclimb_s"] = round(t, 3)
     except Exception as e:  # secondary metrics must never fail the bench
         secondary["error"] = str(e)[:200]
 

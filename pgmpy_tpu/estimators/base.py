@@ -28,6 +28,38 @@ def _bincount_weighted(flat_idx, weights, length):
     return weighted_bincount(flat_idx, weights, length)
 
 
+@partial(jax.jit, static_argnums=(6,))
+def _padded_counts_kernel(codes, w, col_idx, cards, offsets, spec_w, total):
+    """Shape-stable batched count kernel: many (variable, parents) tables
+    in one scatter-add, with the spec list passed as PADDED DATA (not a
+    static tuple).  The compiled program is keyed only on
+    (n_rows, n_specs_bucket, max_cols_bucket, total_bucket), so search
+    loops (HillClimb/GES/PC) whose spec lists change every iteration reuse
+    one compiled program instead of retracing ``_multi_counts_kernel``.
+
+    col_idx (s, k) int32, -1 = padding column; cards (s, k) int32, 1 on
+    padding; offsets (s,) int32 start of each spec's table; spec_w (s,)
+    1.0 for real specs / 0.0 for padding rows.
+    """
+    s, k = col_idx.shape
+    flat = jnp.zeros((s, codes.shape[0]), dtype=jnp.int32)
+    valid = jnp.ones((s, codes.shape[0]), dtype=bool)
+    for j in range(k):  # k <= 8, static unroll over spec columns
+        cj = col_idx[:, j]
+        real = cj >= 0
+        code_j = codes[:, jnp.where(real, cj, 0)].T  # (s, n)
+        code_j = jnp.where(real[:, None], code_j, 0)
+        valid = valid & (code_j >= 0)
+        flat = flat * cards[:, j][:, None] + jnp.maximum(code_j, 0)
+    idx = jnp.clip(flat + offsets[:, None], 0, total - 1)
+    wgt = jnp.where(valid, w[None, :] * spec_w[:, None], 0.0)
+    return (
+        jnp.zeros(total, dtype=config.DTYPE)
+        .at[idx.reshape(-1)]
+        .add(wgt.reshape(-1))
+    )
+
+
 @partial(jax.jit, static_argnums=(2,))
 def _multi_counts_kernel(codes, w, spec):
     """One scatter-add over all (variable, parents) count tables.  ``spec``
@@ -53,6 +85,11 @@ def _multi_counts_kernel(codes, w, spec):
 class _CodedData:
     """Integer-coded dataset resident on device.  NaN rows are tracked with
     a per-column validity mask (code -1)."""
+
+    # class-level default: EM builds instances via __new__ (skipping
+    # __init__), and `self.n_dispatches += 1` still works — the read falls
+    # back to the class attribute, the write lands on the instance
+    n_dispatches = 0
 
     def __init__(self, df, state_names=None, weighted=False):
         self.variables = [c for c in df.columns if c != "_weight"]
@@ -83,6 +120,10 @@ class _CodedData:
         self.codes = jnp.asarray(codes)
         self.var_index = {v: j for j, v in enumerate(self.variables)}
         self.cards = {v: len(self.state_names[v]) for v in self.variables}
+        # device-dispatch odometer: every counts()/multi_counts() call is
+        # one (or, for huge batches, a few chunked) device program launch.
+        # Tests assert PC levels / HillClimb iterations stay O(1) dispatches.
+        self.n_dispatches = 0  # shadow the class default per instance
         if weighted or "_weight" in df.columns:
             self.weights = jnp.asarray(
                 df["_weight"].to_numpy(dtype=np.float64), dtype=config.DTYPE
@@ -109,19 +150,35 @@ class _CodedData:
         w = weights if weights is not None else jnp.ones((self.n,), dtype=config.DTYPE)
         w = jnp.where(valid, w, 0.0)
         total = int(np.prod(cards))
+        self.n_dispatches += 1
         table = _bincount_weighted(flat, w, total)
         if device:
             return table.reshape(cards[0], -1)
         return np.asarray(table).reshape(cards[0], -1)
 
+    # Cap on (n_specs x n_rows) per kernel launch: the kernel concatenates
+    # one flat-index vector per spec, so a 5000-spec x 100k-row batch would
+    # materialize 2 GB of indices in one program.  Chunking keeps peak
+    # device memory ~128 MB while the dispatch count stays O(1)-ish.
+    _MULTI_COUNTS_MAX_ELEMS = 1 << 24
+
     def multi_counts(self, specs, weights=None):
         """Count tables for many (variable, parents) specs in ONE device
-        call: per-spec flat indices are offset into a single scatter-add.
+        call (a few chunked calls for very large batches): per-spec flat
+        indices are offset into a single scatter-add.
 
         Returns a list of (var_card, prod(parent_cards)) arrays.
         """
         # weights=None means UNWEIGHTED (see counts())
         w = weights if weights is not None else jnp.ones((self.n,), dtype=config.DTYPE)
+
+        specs = list(specs)
+        chunk = max(1, self._MULTI_COUNTS_MAX_ELEMS // max(self.n, 1))
+        if len(specs) > chunk:
+            out = []
+            for i in range(0, len(specs), chunk):
+                out.extend(self.multi_counts(specs[i : i + chunk], weights=weights))
+            return out
 
         offsets, sizes, all_cards, col_lists = [], [], [], []
         offset = 0
@@ -137,12 +194,98 @@ class _CodedData:
         total = offset
 
         spec = (tuple(col_lists), tuple(all_cards), tuple(offsets), total)
+        self.n_dispatches += 1
         combined = np.asarray(_multi_counts_kernel(self.codes, w, spec))
         out = []
         for (variable, parents), off, size, cards in zip(
             specs, offsets, sizes, all_cards
         ):
             out.append(combined[off : off + size].reshape(cards[0], -1))
+        return out
+
+
+    def multi_counts_padded(self, specs, weights=None):
+        """Like :meth:`multi_counts` but through the shape-stable padded
+        kernel — use for DYNAMIC spec lists (structure-search iterations,
+        per-level CI-test batches) where the static-spec kernel would
+        retrace on every call.  Spec-count / column-count / output-size are
+        bucketed to powers of two so successive iterations share one
+        compiled program.
+
+        Returns a list of (var_card, prod(parent_cards)) float arrays
+        (exact integers for unweighted data).
+        """
+        specs = list(specs)
+        if not specs:
+            return []
+        w = weights if weights is not None else jnp.ones((self.n,), dtype=config.DTYPE)
+
+        # chunk: bound both the (s x n) index tensor and the int32 offsets
+        max_specs = max(1, self._MULTI_COUNTS_MAX_ELEMS // max(self.n, 1))
+        if len(specs) > max_specs:
+            out = []
+            for i in range(0, len(specs), max_specs):
+                out.extend(
+                    self.multi_counts_padded(specs[i : i + max_specs], weights=weights)
+                )
+            return out
+
+        s_real = len(specs)
+        cols_l, cards_l, sizes = [], [], []
+        for variable, parents in specs:
+            cols = [self.var_index[variable]] + [self.var_index[p] for p in parents]
+            cards = [self.cards[variable]] + [self.cards[p] for p in parents]
+            cols_l.append(cols)
+            cards_l.append(cards)
+            sizes.append(int(np.prod(cards)))
+        total_real = int(np.sum(sizes))
+        if total_real > (1 << 26):
+            # huge tables: fall back to per-half recursion to keep the
+            # scatter output (and its power-of-two bucket) bounded
+            half = max(1, s_real // 2)
+            if s_real == 1:
+                return self.multi_counts(specs, weights=weights)
+            return self.multi_counts_padded(
+                specs[:half], weights=weights
+            ) + self.multi_counts_padded(specs[half:], weights=weights)
+
+        k_real = max(len(c) for c in cols_l)
+        # power-of-two buckets -> stable compiled shapes across iterations
+        s_pad = 1 << max(3, (s_real - 1).bit_length())
+        k_pad = 1 << max(0, (k_real - 1).bit_length())
+        total = 1 << max(10, (total_real - 1).bit_length())
+
+        col_idx = np.full((s_pad, k_pad), -1, dtype=np.int32)
+        cards_a = np.ones((s_pad, k_pad), dtype=np.int32)
+        offsets = np.zeros(s_pad, dtype=np.int32)
+        spec_w = np.zeros(s_pad, dtype=np.float32)
+        off = 0
+        for i, (cols, cards) in enumerate(zip(cols_l, cards_l)):
+            # left-pad so the running product semantics match the compact
+            # layout (leading pad columns multiply flat by 1 and add 0)
+            start = k_pad - len(cols)
+            col_idx[i, start:] = cols
+            cards_a[i, start:] = cards
+            offsets[i] = off
+            spec_w[i] = 1.0
+            off += sizes[i]
+
+        self.n_dispatches += 1
+        combined = np.asarray(
+            _padded_counts_kernel(
+                self.codes,
+                w,
+                jnp.asarray(col_idx),
+                jnp.asarray(cards_a),
+                jnp.asarray(offsets),
+                jnp.asarray(spec_w, dtype=config.DTYPE),
+                total,
+            )
+        )
+        out = []
+        for i, size in enumerate(sizes):
+            o = int(offsets[i])
+            out.append(combined[o : o + size].reshape(cards_l[i][0], -1))
         return out
 
 

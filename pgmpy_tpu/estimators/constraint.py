@@ -16,6 +16,11 @@ from pgmpy_tpu.estimators.base import StructureEstimator
 from pgmpy_tpu.estimators.citests import get_callable_ci_test
 
 
+# sentinel: "this ci_test has no batched device path" (None is a real
+# lambda_ value in the batch API, so it cannot be the sentinel)
+_NOT_BATCHABLE = object()
+
+
 class BaseConstraintEstimator(StructureEstimator):
     def __init__(self, data=None, independencies=None, **kwargs):
         super().__init__(data=data, independencies=independencies, **kwargs)
@@ -32,13 +37,28 @@ class BaseConstraintEstimator(StructureEstimator):
         **kwargs,
     ):
         """Returns (skeleton: nx.Graph, separating_sets: dict)."""
+        from pgmpy_tpu.estimators import citests as _ct
+
         test_fn = get_callable_ci_test(ci_test)
+        batch_lambda = _NOT_BATCHABLE
         if self.data is not None:
             variables = list(self.variables)
             test_kwargs = dict(
                 data=self.data, boolean=True,
                 significance_level=significance_level, **kwargs,
             )
+            # discrete power-divergence family -> whole-level batched path
+            # (identical results; the statistic is a pure function of the
+            # count tensor, which batches into one device scatter-add)
+            _by_fn = {
+                _ct.chi_square: "pearson",
+                _ct.g_sq: "log-likelihood",
+                _ct.log_likelihood: "log-likelihood",
+                _ct.modified_log_likelihood: "mod-log-likelihood",
+                _ct.power_divergence: kwargs.get("lambda_", "cressie-read"),
+            }
+            if test_fn in _by_fn and self._coded is not None:
+                batch_lambda = _by_fn[test_fn]
         elif self.independencies is not None:
             variables = sorted(self.independencies.get_all_variables(), key=str)
             test_fn = get_callable_ci_test("independence_match")
@@ -72,16 +92,56 @@ class BaseConstraintEstimator(StructureEstimator):
                             break
             else:  # "stable" / "parallel": neighbors frozen per level
                 neighbors = {node: set(graph[node]) for node in graph.nodes()}
-                for u, v in list(graph.edges()):
-                    for sep_set in itertools.chain(
-                        combinations(neighbors[u] - {v}, lim_neighbors),
-                        combinations(neighbors[v] - {u}, lim_neighbors),
-                    ):
-                        if test_fn(u, v, list(sep_set), **test_kwargs):
-                            separating_sets[frozenset((u, v))] = sep_set
-                            if graph.has_edge(u, v):
-                                graph.remove_edge(u, v)
-                            break
+                level_tests = [
+                    (
+                        u,
+                        v,
+                        list(
+                            itertools.chain(
+                                combinations(neighbors[u] - {v}, lim_neighbors),
+                                combinations(neighbors[v] - {u}, lim_neighbors),
+                            )
+                        ),
+                    )
+                    for u, v in list(graph.edges())
+                ]
+                if batch_lambda is not _NOT_BATCHABLE:
+                    # Whole level in O(1) device dispatches: neighbors are
+                    # frozen, so the full (edge, sepset) candidate list is
+                    # known up front and the sequential first-success replay
+                    # below is exactly the per-test loop's behavior.
+                    from pgmpy_tpu.estimators.citests import power_divergence_batch
+
+                    triples = [
+                        (u, v, list(sep_set))
+                        for u, v, sep_sets in level_tests
+                        for sep_set in sep_sets
+                    ]
+                    results = iter(
+                        power_divergence_batch(
+                            triples, lambda_=batch_lambda, coded=self._coded
+                        )
+                    )
+                    for u, v, sep_sets in level_tests:
+                        removed = False
+                        for sep_set in sep_sets:
+                            _, p_value, _ = next(results)
+                            # NaN p (all-degenerate slices) keeps the edge,
+                            # matching the boolean per-test path
+                            if not removed and p_value >= significance_level:
+                                separating_sets[frozenset((u, v))] = sep_set
+                                if graph.has_edge(u, v):
+                                    graph.remove_edge(u, v)
+                                removed = True
+                    del results
+                else:
+                    for u, v, sep_sets in level_tests:
+                        for sep_set in sep_sets:
+                            if test_fn(u, v, list(sep_set), **test_kwargs):
+                                separating_sets[frozenset((u, v))] = sep_set
+                                if graph.has_edge(u, v):
+                                    graph.remove_edge(u, v)
+                                break
             lim_neighbors += 1
             if lim_neighbors > max_cond_vars:
                 logger.warning(

@@ -16,8 +16,8 @@ from pgmpy_tpu.estimators.scores import get_scoring_method
 class ExhaustiveSearch(StructureEstimator):
     def __init__(self, data, scoring_method=None, use_cache=True, **kwargs):
         super().__init__(data, **kwargs)
-        if scoring_method is None:
-            scoring_method = "k2"
+        # None auto-selects by dataset type inside get_scoring_method
+        # (BIC for discrete — reference StructureScore.py:67-69)
         _, self.scoring_method = get_scoring_method(scoring_method, data, use_cache)
 
     def all_dags(self, nodes=None):
@@ -29,7 +29,12 @@ class ExhaustiveSearch(StructureEstimator):
                 f"Generating all DAGs of n nodes likely not feasible for n>6! "
                 f"Attempting to search through {2 ** (len(nodes) * (len(nodes) - 1))} graphs"
             )
-        edges = list(itertools.permutations(nodes, 2))
+        # EXACT reference enumeration order (ExhaustiveSearch.py:92-93):
+        # all forward combinations first, then all reversals — score ties
+        # between Markov-equivalent DAGs are broken by first-enumerated,
+        # so the order is part of the observable contract
+        edges = list(itertools.combinations(nodes, 2))
+        edges.extend([(y, x) for x, y in edges])
         for subset_size in range(len(edges) + 1):
             for edge_subset in itertools.combinations(edges, subset_size):
                 graph = nx.DiGraph(edge_subset)
@@ -39,6 +44,22 @@ class ExhaustiveSearch(StructureEstimator):
 
     def all_scores(self):
         """[(score, dag)] for every DAG, sorted ascending."""
+        # Prime every possible (node, parent-set) local score in one
+        # batched device dispatch up front: the DAG enumeration is
+        # super-exponential but the distinct local scores are only
+        # n * 2^(n-1), so warming the cache removes ALL per-DAG device
+        # work from the loop.
+        nodes = sorted(self.variables, key=str)
+        if len(nodes) <= 6:
+            others = {v: [u for u in nodes if u != v] for v in nodes}
+            self.scoring_method.prime(
+                [
+                    (v, list(ps))
+                    for v in nodes
+                    for k in range(len(nodes))
+                    for ps in itertools.combinations(others[v], k)
+                ]
+            )
         scored = []
         for dag in self.all_dags():
             score = sum(

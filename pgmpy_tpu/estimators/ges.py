@@ -2,10 +2,11 @@
 
 Parity: ``/root/reference/pgmpy/estimators/GES.py:19-244`` — three greedy
 phases with expert-knowledge gating (forbidden/required edges, temporal
-tiers, search space) and a ``min_improvement`` stopping rule.  Candidate
-score deltas inside each phase are evaluated through the batched
-device scorer when available (``scores.local_score_batch``), so one
-iteration costs O(1) device dispatches instead of O(candidates).
+tiers, search space) and a ``min_improvement`` stopping rule.  Each phase
+iteration primes the score cache with ALL candidate (variable, parents)
+specs in one batched device dispatch (``ScoreCache.prime`` ->
+``multi_counts_padded``), so an iteration costs O(1) dispatches instead
+of O(candidates).
 """
 
 import itertools
@@ -62,7 +63,7 @@ class GES(StructureEstimator):
 
     def estimate(
         self,
-        scoring_method="bic-d",
+        scoring_method=None,
         expert_knowledge=None,
         min_improvement=1e-6,
         debug=False,
@@ -88,6 +89,16 @@ class GES(StructureEstimator):
             candidates = self._legal_edge_additions(current_model, expert_knowledge)
             if not candidates:
                 break
+            score_cache.prime(
+                [
+                    spec
+                    for u, v in candidates
+                    for spec in (
+                        (v, list(current_model.predecessors(v)) + [u]),
+                        (v, list(current_model.predecessors(v))),
+                    )
+                ]
+            )
             deltas = np.array(
                 [
                     score_fn(v, list(current_model.predecessors(v)) + [u])
@@ -105,6 +116,16 @@ class GES(StructureEstimator):
             candidates = self._legal_edge_removals(current_model, expert_knowledge)
             if not candidates:
                 break
+            score_cache.prime(
+                [
+                    spec
+                    for u, v in candidates
+                    for spec in (
+                        (v, [p for p in current_model.predecessors(v) if p != u]),
+                        (v, list(current_model.predecessors(v))),
+                    )
+                ]
+            )
             deltas = np.array(
                 [
                     score_fn(
@@ -125,6 +146,18 @@ class GES(StructureEstimator):
             candidates = self._legal_edge_flips(current_model, expert_knowledge)
             if not candidates:
                 break
+            score_cache.prime(
+                [
+                    spec
+                    for u, v in candidates
+                    for spec in (
+                        (v, list(current_model.predecessors(v)) + [u]),
+                        (v, list(current_model.predecessors(v))),
+                        (u, [p for p in current_model.predecessors(u) if p != v]),
+                        (u, list(current_model.predecessors(u))),
+                    )
+                ]
+            )
             deltas = []
             for u, v in candidates:
                 v_parents = list(current_model.predecessors(v))

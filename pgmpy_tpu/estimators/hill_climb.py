@@ -93,7 +93,7 @@ class HillClimbSearch(StructureEstimator):
 
     def estimate(
         self,
-        scoring_method="bic-d",
+        scoring_method=None,
         start_dag=None,
         fixed_edges=set(),
         tabu_length=100,
@@ -155,6 +155,27 @@ class HillClimbSearch(StructureEstimator):
         iteration = 0
         while iteration < int(max_iter):
             iteration += 1
+            # Phase 1: dry-run the legal-operations generator with a
+            # recording score to collect every (variable, parents) it will
+            # evaluate, then batch-compute all uncached locals in ONE
+            # device dispatch (ScoreCache.prime).  Through the TPU tunnel a
+            # dispatch costs ~0.1-1 s, so the per-candidate loop below must
+            # run against a warm cache — this is the batched analogue of
+            # the reference's joblib fan-out (HillClimbSearch.py:63-140).
+            # Legality checks are pure host graph ops, cheap to run twice.
+            specs = []
+
+            def _record(var, parents, _specs=specs):
+                _specs.append((var, tuple(parents)))
+                return 0.0
+
+            for _ in self._legal_operations(
+                current_model, _record, lambda op: 0.0, tabu_list,
+                max_indegree, black_list, white_list, fixed_edges,
+            ):
+                pass
+            score_cache.prime(specs)
+
             best_operation, best_score_delta = max(
                 self._legal_operations(
                     current_model, score_fn, score_cache.structure_prior_ratio,

@@ -22,6 +22,7 @@ def get_scoring_method(scoring_method, data, use_cache=True):
         "bic": BIC,
         "aic-d": AIC,
         "aic": AIC,
+        "ll-d": LogLikeliHood,
         "ll-g": LogLikelihoodGauss,
         "bic-g": BICGauss,
         "aic-g": AICGauss,
@@ -30,6 +31,16 @@ def get_scoring_method(scoring_method, data, use_cache=True):
         "aic-cg": AICCondGauss,
         "loglikelihood": LogLikeliHood,
     }
+    if scoring_method is None:
+        # reference semantics (StructureScore.py:67-69): pick the first
+        # score for the data's variable type — BIC / BICGauss / BICCondGauss
+        from pgmpy_tpu.utils.utils import get_dataset_type
+
+        scoring_method = {
+            "discrete": "bic-d",
+            "continuous": "bic-g",
+            "mixed": "bic-cg",
+        }[get_dataset_type(data)]
     if isinstance(scoring_method, str):
         key = scoring_method.lower()
         if key not in scores:
@@ -69,10 +80,44 @@ class StructureScore(StructureEstimator):
     def local_score(self, variable, parents):
         raise NotImplementedError
 
+    def local_scores_batch(self, specs):
+        """Local scores for many ``(variable, parents)`` specs.  Count-table
+        scores override this to fetch ALL tables in one device dispatch
+        (``_CodedData.multi_counts``) — through the TPU tunnel a dispatch
+        costs ~0.1-1 s, so HillClimb/GES iterations must not pay it per
+        candidate (reference parallelizes with joblib instead,
+        ``HillClimbSearch.py:63-140``)."""
+        return [self.local_score(var, list(parents)) for var, parents in specs]
 
-class K2(StructureScore):
+    def prime(self, specs):
+        """Hook for ScoreCache: precompute specs in one batch.  No-op on a
+        bare scorer (nowhere to store the results)."""
+        return None
+
+
+class _CountScore(StructureScore):
+    """Discrete scores that are pure functions of the (child, parents)
+    count table: the table comes off the device kernel, the lgamma/log
+    reduction runs host-side in float64 (reference-parity digits)."""
+
+    def _score_from_counts(self, counts):
+        raise NotImplementedError
+
     def local_score(self, variable, parents):
         counts = self._coded.counts(variable, list(parents)).astype(np.float64)
+        return self._score_from_counts(counts)
+
+    def local_scores_batch(self, specs):
+        # padded kernel: spec lists change every search iteration, so the
+        # static-spec multi_counts kernel would retrace each call
+        tables = self._coded.multi_counts_padded(
+            [(var, tuple(parents)) for var, parents in specs]
+        )
+        return [self._score_from_counts(t.astype(np.float64)) for t in tables]
+
+
+class K2(_CountScore):
+    def _score_from_counts(self, counts):
         var_card = counts.shape[0]
         counts_with_alpha = counts + 1.0
         col_sums = counts_with_alpha.sum(axis=0)
@@ -90,12 +135,12 @@ class K2(StructureScore):
         return score
 
 
-class BDeu(StructureScore):
+class BDeu(_CountScore):
     def __init__(self, data=None, equivalent_sample_size=10, **kwargs):
         self.equivalent_sample_size = equivalent_sample_size
         super().__init__(data, **kwargs)
 
-    def local_score(self, variable, parents):
+    def _score_from_counts(self, counts):
         # Mirrors the reference's expression tree exactly
         # (StructureScore.py BDeu.local_score): greedy searches decide
         # near-symmetric orientations on ~1e-14 score differences, so the
@@ -104,7 +149,6 @@ class BDeu(StructureScore):
         # otherwise HillClimb/MMHC trajectories diverge from the reference.
         from math import lgamma
 
-        counts = self._coded.counts(variable, list(parents)).astype(np.float64)
         var_card, n_configs = counts.shape
         col_sums = np.sum(counts, axis=0, dtype=float)
         observed = counts[:, col_sums > 0]
@@ -142,7 +186,7 @@ class BDs(BDeu):
         possible_edges = nnodes * (nnodes - 1) / 2.0
         return -(nedges + possible_edges) * np.log(2.0)
 
-    def local_score(self, variable, parents):
+    def _score_from_counts(self, counts):
         # Reference expression tree (StructureScore.py BDs.local_score):
         # the sparse-Dirichlet alpha spreads ESS over OBSERVED parent
         # configurations, but beta and the prior-normalization terms still
@@ -150,7 +194,6 @@ class BDs(BDeu):
         # closed-form gammaln contributions.
         from math import lgamma
 
-        counts = self._coded.counts(variable, list(parents)).astype(np.float64)
         var_card, n_configs = counts.shape
         col_sums = np.sum(counts, axis=0, dtype=float)
         observed = counts[:, col_sums > 0]
@@ -173,9 +216,8 @@ class BDs(BDeu):
         return float(score)
 
 
-class LogLikeliHood(StructureScore):
-    def local_score(self, variable, parents):
-        counts = self._coded.counts(variable, list(parents)).astype(np.float64)
+class LogLikeliHood(_CountScore):
+    def _score_from_counts(self, counts):
         col_sums = counts.sum(axis=0, keepdims=True)
         with np.errstate(divide="ignore", invalid="ignore"):
             log_ratio = np.where(
@@ -185,20 +227,18 @@ class LogLikeliHood(StructureScore):
 
 
 class BIC(LogLikeliHood):
-    def local_score(self, variable, parents):
-        counts = self._coded.counts(variable, list(parents)).astype(np.float64)
+    def _score_from_counts(self, counts):
         sample_size = counts.sum()
         var_card, n_configs = counts.shape
-        ll = LogLikeliHood.local_score(self, variable, parents)
+        ll = LogLikeliHood._score_from_counts(self, counts)
         num_params = n_configs * (var_card - 1)
         return ll - 0.5 * np.log(max(sample_size, 1)) * num_params
 
 
 class AIC(LogLikeliHood):
-    def local_score(self, variable, parents):
-        counts = self._coded.counts(variable, list(parents)).astype(np.float64)
+    def _score_from_counts(self, counts):
         var_card, n_configs = counts.shape
-        ll = LogLikeliHood.local_score(self, variable, parents)
+        ll = LogLikeliHood._score_from_counts(self, counts)
         num_params = n_configs * (var_card - 1)
         return ll - num_params
 
@@ -441,6 +481,28 @@ class ScoreCache(StructureScore):
         score = self.base_scorer.local_score(variable, list(parents))
         self._cache[key] = score
         return score
+
+    def prime(self, specs):
+        """Batch-compute all UNCACHED ``(variable, parents)`` specs in one
+        device dispatch and warm the cache.  Every local score is
+        invariant to parent order (the table reduction sums all cells), so
+        deduplication on the sorted cache key is exact.  Search loops call
+        this once per iteration so the subsequent per-candidate
+        ``local_score`` calls are all cache hits."""
+        needed, keys = [], []
+        seen = set()
+        for variable, parents in specs:
+            key = (variable, tuple(sorted(parents, key=str)))
+            if key in self._cache or key in seen:
+                continue
+            seen.add(key)
+            keys.append(key)
+            needed.append((variable, list(parents)))
+        if needed:
+            for key, score in zip(
+                keys, self.base_scorer.local_scores_batch(needed)
+            ):
+                self._cache[key] = score
 
     def structure_prior(self, model):
         return self.base_scorer.structure_prior(model)

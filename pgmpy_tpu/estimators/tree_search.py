@@ -36,17 +36,24 @@ class TreeSearch(StructureEstimator):
         self.root_node = root_node
 
     def _mi_matrix(self, variables, condition=None):
+        # ALL pairwise count tables in O(1) device dispatches — a per-pair
+        # loop is O(d^2) launches, minutes of pure tunnel latency at
+        # ALARM scale (the reference instead joblib-fans sklearn MI calls,
+        # TreeSearch.py:21-402)
         d = len(variables)
+        pairs = list(itertools.combinations(range(d), 2))
+        if condition is None:
+            specs = [(variables[i], (variables[j],)) for i, j in pairs]
+        else:
+            specs = [(variables[i], (variables[j], condition)) for i, j in pairs]
+        tables = self._coded.multi_counts_padded(specs)
         mi = np.zeros((d, d))
-        for i, j in itertools.combinations(range(d), 2):
+        for (i, j), counts in zip(pairs, tables):
+            counts = np.asarray(counts, dtype=np.float64)
             if condition is None:
-                counts = self._coded.counts(variables[i], [variables[j]])
                 mi[i, j] = mi[j, i] = _mutual_info(counts)
             else:
                 # conditional MI given the class variable
-                counts = self._coded.counts(
-                    variables[i], [variables[j], condition]
-                )
                 cx = counts.shape[0]
                 cy = len(self.state_names[variables[j]])
                 cz = len(self.state_names[condition])

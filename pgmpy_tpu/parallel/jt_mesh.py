@@ -45,29 +45,76 @@ from pgmpy_tpu.inference.bp import _broadcast_spec, _expand
 
 
 def partition_rooted_tree(tree, root, n_parts):
-    """Carve a rooted tree into <= ``n_parts`` balanced CONNECTED parts.
+    """Carve a rooted tree into balanced CONNECTED parts, targeting
+    ``n_parts`` of them.
 
     Bottom-up DFS accumulation: a node absorbs its children's pending
     buckets and seals a part once the bucket reaches the target size (the
-    root seals whatever remains).  Returns (parts, tops) where
-    ``parts[i]`` is the list of nodes of part i and ``tops[i]`` its
-    highest node (the one adjacent to the parent part).
+    subtree root seals whatever remains).  Because absorbing several child
+    buckets at once overshoots the target, a first carve often yields
+    FEWER than ``n_parts`` parts (pigs/362 gave 6 of 8) — so a refinement
+    loop re-carves the largest part in two until the requested count is
+    reached (or the largest part is a single node / unsplittable star).
+    Returns (parts, tops, parent) where ``parts[i]`` is the node list of
+    part i and ``tops[i]`` its highest node (adjacent to the parent part).
     """
     nodes = list(nx.dfs_postorder_nodes(tree, root))
     parent = {c: p for p, c in nx.bfs_edges(tree, root)}
+
+    def carve(node_list, sub_root, target):
+        sub = tree.subgraph(node_list)
+        pending = collections.defaultdict(list)
+        parts, tops = [], []
+        for node in nx.dfs_postorder_nodes(sub, sub_root):
+            bucket = [node]
+            for child in sub.neighbors(node):
+                if parent.get(child) is node and child in pending:
+                    bucket.extend(pending.pop(child))
+            if len(bucket) >= target or node == sub_root:
+                parts.append(bucket)
+                tops.append(node)
+            else:
+                pending[node] = bucket
+        return parts, tops
+
+    def split2(node_list, sub_root):
+        """Best-edge 2-way split: cut the edge whose lower subtree is
+        closest to half the part (always succeeds for >= 2 nodes, unlike
+        a threshold carve, which can't split e.g. a root whose child
+        subtrees are all below target)."""
+        sub = tree.subgraph(node_list)
+        size = {}
+        for node in nx.dfs_postorder_nodes(sub, sub_root):
+            size[node] = 1 + sum(
+                size[c]
+                for c in sub.neighbors(node)
+                if parent.get(c) == node and c in size
+            )
+        n = len(node_list)
+        best = min(
+            (x for x in node_list if x != sub_root),
+            key=lambda x: abs(size[x] - n / 2),
+        )
+        lower = set()
+        stack = [best]
+        while stack:
+            x = stack.pop()
+            lower.add(x)
+            for c in sub.neighbors(x):
+                if parent.get(c) == x:
+                    stack.append(c)
+        upper = [x for x in node_list if x not in lower]
+        return [list(lower), upper], [best, sub_root]
+
     target = max(1, -(-len(nodes) // int(n_parts)))
-    pending = collections.defaultdict(list)
-    parts, tops = [], []
-    for node in nodes:
-        bucket = [node]
-        for child in tree.neighbors(node):
-            if parent.get(child) is node and child in pending:
-                bucket.extend(pending.pop(child))
-        if len(bucket) >= target or node is root or node == root:
-            parts.append(bucket)
-            tops.append(node)
-        else:
-            pending[node] = bucket
+    parts, tops = carve(nodes, root, target)
+    while len(parts) < int(n_parts):
+        i = max(range(len(parts)), key=lambda j: len(parts[j]))
+        if len(parts[i]) < 2:
+            break
+        sub_parts, sub_tops = split2(parts[i], tops[i])
+        parts[i : i + 1] = sub_parts
+        tops[i : i + 1] = sub_tops
     return parts, tops, parent
 
 

@@ -256,18 +256,37 @@ class TestDiscreteSearch:
         assert dag_edges(tan) == g["tan_edges"]
 
     def test_mmhc(self, net):
+        import networkx as nx
+
         from pgmpy_tpu.estimators.scores import BDeu
 
         name, g, df = net
-        if "mmhc_edges" not in g:
-            pytest.skip("mmhc not goldened for this network")
-        dag = MmhcEstimator(df).estimate(significance_level=0.01)
-        # orientations of the first edge added per node hinge on ~1e-14
-        # floating-point noise in near-symmetric BDeu deltas, so compare
-        # skeleton + achieved score rather than literal directions
-        assert_search_parity(
-            dag, g["mmhc_edges"], df, BDeu, equivalent_sample_size=10
+        est = MmhcEstimator(df)
+
+        # The reference's mmpc is NOT deterministic: its max-min heuristic
+        # iterates a hash-ordered set with a >= tie rule, and 1-p ties at
+        # 1.0 are pervasive — three PYTHONHASHSEEDs give three different
+        # skeletons on this very frame.  So no exact-skeleton golden can
+        # exist; instead assert (a) OUR mmpc is deterministic across
+        # calls, and (b) the full search achieves AT LEAST the recorded
+        # reference run's BDeu score (cross-library anchor).
+        skel = est.mmpc(significance_level=0.01)
+        skel2 = MmhcEstimator(df).mmpc(significance_level=0.01)
+        assert sorted(map(sorted, skel.edges())) == sorted(
+            map(sorted, skel2.edges())
         )
+
+        dag = est.estimate(significance_level=0.01)
+        scorer = BDeu(df, equivalent_sample_size=10)
+
+        def total(edges):
+            d = nx.DiGraph(list(edges))
+            d.add_nodes_from(df.columns)
+            return sum(
+                scorer.local_score(n, list(d.predecessors(n))) for n in d.nodes()
+            )
+
+        assert total(dag.edges()) >= total(map(tuple, g["mmhc_edges"])) - 1e-6
 
     def test_exhaustive(self, net):
         name, g, df = net
