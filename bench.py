@@ -49,6 +49,14 @@ def main():
     bp.calibrate()
     first_s = time.time() - t0
 
+    # steady state should measure the background-compiled monolithic
+    # program (hot-swapped in by JunctionTreeProgram.executor); profiling
+    # (r4) showed it at 13.6-15.1 ms vs ~20-24 ms for the 6-dispatch
+    # chunked pipeline
+    t0 = time.time()
+    bp._program.wait_for_upgrade("marginalize", timeout=180)
+    upgrade_wait_s = time.time() - t0
+
     times = []
     for _ in range(7):
         t0 = time.time()
@@ -241,6 +249,14 @@ def main():
             "load_s": round(load_s, 2),
             "structure_compile_s": round(structure_s, 2),
             "first_calibrate_incl_xla_compile_s": round(first_s, 2),
+            "monolithic_upgrade_wait_s": round(upgrade_wait_s, 2),
+            "perf": (
+                "r4 profile (v5e): est 2.6 GB moved/calibration, HBM "
+                "roofline ~3 ms; chunked 6-dispatch steady ~20-24 ms "
+                "(16% of roofline), monolithic single-program steady "
+                "13.6-15.1 ms — background-compiled (~24 s) and "
+                "hot-swapped after first calibrate"
+            ),
             "baseline": "pgmpy-CPU calibrate() timed out at 3400s (lower bound)",
             "steady_spread": steady_spread,
             "secondary": secondary,

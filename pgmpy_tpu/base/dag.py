@@ -68,7 +68,8 @@ class DAG(GraphRolesMixin, nx.DiGraph):
     # ------------------------------------------------------------------ #
     # structure edits
     # ------------------------------------------------------------------ #
-    def add_node(self, node, weight=None, latent=False, **attr):
+    def add_node(self, node_for_adding, weight=None, latent=False, **attr):
+        node = node_for_adding
         if isinstance(node, tuple) and len(node) == 2 and isinstance(node[1], dict):
             node, attrs = node
             if weight is not None:
@@ -80,7 +81,8 @@ class DAG(GraphRolesMixin, nx.DiGraph):
         if latent:
             self.with_role("latent", [node], inplace=True)
 
-    def add_nodes_from(self, nodes, weights=None, latent=False, **attr):
+    def add_nodes_from(self, nodes_for_adding, weights=None, latent=False, **attr):
+        nodes = nodes_for_adding
         nodes = list(nodes)
         if isinstance(latent, bool):
             latent = [latent] * len(nodes)

@@ -13,7 +13,8 @@ class UndirectedGraph(nx.Graph):
         super().__init__(ebunch)
         self.latents = set(latents)
 
-    def add_node(self, node, weight=None, latent=False, **attr):
+    def add_node(self, node_for_adding, weight=None, latent=False, **attr):
+        node = node_for_adding
         if isinstance(node, tuple) and len(node) == 2 and isinstance(node[1], dict):
             node, attrs = node
             if weight is not None:
@@ -25,7 +26,8 @@ class UndirectedGraph(nx.Graph):
             self.latents.add(node)
         super().add_node(node, **attrs)
 
-    def add_nodes_from(self, nodes, weights=None, latent=False, **attr):
+    def add_nodes_from(self, nodes_for_adding, weights=None, latent=False, **attr):
+        nodes = nodes_for_adding
         nodes = list(nodes)
         if isinstance(latent, bool):
             latent = [latent] * len(nodes)

@@ -360,6 +360,11 @@ class StructureEstimator(BaseEstimator):
 class MarginalEstimator(BaseEstimator):
     """Base for estimators that fit models to empirical clique marginals."""
 
+    def estimate(self):
+        """Abstract hook; concrete subclasses (MirrorDescentEstimator)
+        override (reference ``estimators/base.py:426-427``)."""
+        pass
+
     def __init__(self, model, data, **kwargs):
         from pgmpy_tpu.factors.factor_dict import FactorDict
         from pgmpy_tpu.models.factor_graph import FactorGraph

@@ -20,7 +20,8 @@ class ClusterGraph(UndirectedGraph):
             self.add_edges_from(ebunch)
         self.factors = []
 
-    def add_node(self, node, **kwargs):
+    def add_node(self, node_for_adding, **kwargs):
+        node = node_for_adding
         if not isinstance(node, (list, set, tuple)):
             raise TypeError(
                 "Node can only be a list, set or tuple of nodes forming a clique"
@@ -28,7 +29,8 @@ class ClusterGraph(UndirectedGraph):
         node = tuple(node)
         super().add_node(node, **kwargs)
 
-    def add_nodes_from(self, nodes, **kwargs):
+    def add_nodes_from(self, nodes_for_adding, **kwargs):
+        nodes = nodes_for_adding
         for node in nodes:
             self.add_node(node, **kwargs)
 

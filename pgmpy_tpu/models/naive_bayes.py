@@ -30,6 +30,29 @@ class NaiveBayes(DiscreteBayesianNetwork):
         self.features.add(v)
         super().add_edge(u, v, *args, **kwargs)
 
+    def active_trail_nodes(
+        self, start=None, observed=None, include_latents=False, variables=None
+    ):
+        """Nodes reachable from ``start`` via an active trail.  In a star
+        topology this has the reference's closed form
+        (``NaiveBayes.py:114-142``): observing the class node blocks
+        everything; otherwise every unobserved node is reachable.  The
+        closed form returns a plain set like the reference; the inference
+        layer's ``variables=`` calling convention delegates to the DAG
+        algorithm (which returns the {var: set} dict it expects)."""
+        if variables is not None or start is None:
+            return super().active_trail_nodes(
+                variables=variables,
+                observed=observed,
+                include_latents=include_latents,
+            )
+        if observed and self.dependent in observed:
+            # reference does set(start), which splits a multi-character
+            # node NAME into characters (NaiveBayes.py:139-140 only ever
+            # sees 1-char names in its doctests) — return {start} instead
+            return {start} if isinstance(start, str) else set(start)
+        return set(self.nodes()) - set(observed if observed else [])
+
     def local_independencies(self, variables):
         independencies = Independencies()
         for variable in (

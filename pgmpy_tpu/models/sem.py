@@ -102,12 +102,64 @@ class SEMGraph:
             )
         return full_graph
 
-    def active_trail_nodes(self, variables, observed=None):
-        from pgmpy_tpu.base.dag import DAG
+    def active_trail_nodes(self, variables, observed=[], avoid_nodes=[], struct="full"):
+        """Observed variables d-connected to ``variables`` in the chosen
+        graph structure, ignoring paths through ``avoid_nodes``.  BFS on
+        (node, direction) states over the full graph (error/common-cause
+        nodes included) exactly as the reference
+        (``models/SEM.py:233-337``); error nodes (``.``-prefixed) and
+        latents are excluded from the result."""
+        if struct == "full":
+            graph_struct = self.full_graph_struct
+        elif struct == "non_error":
+            graph_struct = self.graph
+        elif isinstance(struct, nx.DiGraph):
+            graph_struct = struct
+        else:
+            raise ValueError(
+                f"Expected struct to be str or nx.DiGraph. Got {type(struct)}"
+            )
+        observed = list(observed) if observed else []
+        avoid_nodes = set(avoid_nodes) if avoid_nodes else set()
 
-        dag = DAG(list(self.graph.edges()))
-        dag.add_nodes_from(self.graph.nodes())
-        return dag.active_trail_nodes(variables, observed=observed)
+        ancestors_list = set()
+        for node in observed:
+            ancestors_list |= nx.algorithms.dag.ancestors(graph_struct, node)
+
+        active_trails = {}
+        for start in (
+            variables if isinstance(variables, (list, tuple)) else [variables]
+        ):
+            visit_list = {(start, "up")}
+            traversed = set()
+            active_nodes = set()
+            while visit_list:
+                node, direction = visit_list.pop()
+                if node in avoid_nodes:
+                    continue
+                if (node, direction) in traversed:
+                    continue
+                if (
+                    node not in observed
+                    and not str(node).startswith(".")
+                    and node not in self.latents
+                ):
+                    active_nodes.add(node)
+                traversed.add((node, direction))
+                if direction == "up" and node not in observed:
+                    for parent in graph_struct.predecessors(node):
+                        visit_list.add((parent, "up"))
+                    for child in graph_struct.successors(node):
+                        visit_list.add((child, "down"))
+                elif direction == "down":
+                    if node not in observed:
+                        for child in graph_struct.successors(node):
+                            visit_list.add((child, "down"))
+                    if node in ancestors_list:
+                        for parent in graph_struct.predecessors(node):
+                            visit_list.add((parent, "up"))
+            active_trails[start] = active_nodes
+        return active_trails
 
     def get_scaling_indicators(self):
         """First observed child of each latent (for scale fixing)."""

@@ -89,7 +89,8 @@ class PomdpXReader:
                 out.append(cond)
         return out
 
-    def get_parameter_dd(self, parameter_el):
+    def get_parameter_dd(self, parameter):
+        parameter_el = parameter
         """Decision-diagram parameter as nested dicts: {root var: edges},
         where an edge value is a terminal string, a nested {var: edges}
         node, or a SubDAG attribute dict; an optional SubDAGTemplate rides
@@ -140,7 +141,8 @@ class PomdpXReader:
             return self.get_parameter_dd(parameter_el)
         return self.get_parameter_tbl(parameter_el)
 
-    def get_parameter_tbl(self, parameter_el):
+    def get_parameter_tbl(self, parameter):
+        parameter_el = parameter
         """[{Instance: [...], ProbTable/ValueTable: [...]}] rows of a
         TBL-typed parameter."""
         rows = []

@@ -86,6 +86,7 @@ def optimize(
     return params
 
 
-def pinverse(matrix):
+def pinverse(t):
+    matrix = t
     """Moore-Penrose pseudo-inverse."""
     return jnp.linalg.pinv(jnp.asarray(matrix))

@@ -51,7 +51,8 @@ class StateNameMixin:
         """Integer code of state ``state_name`` of ``var``."""
         return self.name_to_no[var][state_name]
 
-    def add_state_names(self, other):
+    def add_state_names(self, phi1):
+        other = phi1
         """Absorb state-name metadata from another factor (used by binary
         factor ops so the result knows every variable's states)."""
         if other is None:

@@ -167,3 +167,39 @@ class TestCalibrationNumerics:
             jnp.asarray(0.0, jnp.float32)
         )
         assert float(clamped) > 0.0
+
+
+class TestMonolithicUpgrade:
+    """The background monolithic-program hot-swap (r4 perf lever) must
+    produce the same calibrated beliefs as the chunked pipeline."""
+
+    def test_upgrade_swaps_and_matches(self):
+        import numpy as np
+
+        from pgmpy_tpu.inference.bp import BeliefPropagation, JunctionTreeProgram
+        from pgmpy_tpu.utils import get_example_model
+
+        model = get_example_model("alarm")
+        old_chunk = JunctionTreeProgram.CHUNK
+        old_thresh = JunctionTreeProgram.UPGRADE_THRESHOLD
+        try:
+            JunctionTreeProgram.CHUNK = 7  # force many segments
+            JunctionTreeProgram.UPGRADE_THRESHOLD = 1  # force the upgrade
+            bp = BeliefPropagation(model)
+            bp.calibrate()
+            chunked = {
+                c: np.asarray(f.values) for c, f in bp.get_clique_beliefs().items()
+            }
+            bp._program.wait_for_upgrade("marginalize", timeout=300)
+            # the swapped-in executor must be a different callable
+            assert bp._program._upgrade_threads["marginalize"] is not None
+            bp.calibrate()
+            mono = {
+                c: np.asarray(f.values) for c, f in bp.get_clique_beliefs().items()
+            }
+            assert chunked.keys() == mono.keys()
+            for c in chunked:
+                np.testing.assert_allclose(chunked[c], mono[c], rtol=2e-5, atol=1e-7)
+        finally:
+            JunctionTreeProgram.CHUNK = old_chunk
+            JunctionTreeProgram.UPGRADE_THRESHOLD = old_thresh
