@@ -120,6 +120,20 @@ def main():
             median_time(bp_round, reps=3, key="munin_bp_query") / n_bq * 1000, 3
         )
 
+        # batched BP queries: same compiled signature, vmapped over rows
+        ev_states = model.get_cpds(bq_ev).state_names[bq_ev]
+        batch_rows = 2048
+        batch_ev = {bq_ev: [ev_states[i % len(ev_states)] for i in range(batch_rows)]}
+        import numpy as np
+
+        np.asarray(bp.query_batch([bq_var], batch_ev)[0])  # warm/compile
+        t = median_time(
+            lambda i: np.asarray(bp.query_batch([bq_var], batch_ev)[0]),
+            reps=3,
+            key="munin_bp_query_batch",
+        )
+        secondary["munin_bp_query_batch_rows_per_s"] = int(batch_rows / t)
+
         alarm = get_example_model("alarm")
         infer = VariableElimination(alarm)
         infer.query(
@@ -228,6 +242,7 @@ def main():
     # dead): every expected secondary must be present or named in "missing"
     expected = [
         "munin_bp_query_ms",
+        "munin_bp_query_batch_rows_per_s",
         "alarm_ve_query_ms",
         "alarm_predict_rows_per_s",
         "alarm_forward_samples_per_s",

@@ -112,10 +112,11 @@ class _CodedData:
                 except TypeError:
                     names = sorted(names, key=str)
             self.state_names[var] = names
-            mapping = {s: i for i, s in enumerate(names)}
+            # vectorized coding: pd.Categorical maps values -> positions in
+            # `names` in C (unknown values and NaN both code to -1); the
+            # old per-row python loop cost seconds per million rows
             codes[:, j] = np.asarray(
-                [mapping.get(x, -1) if not pd.isna(x) else -1 for x in col],
-                dtype=np.int32,
+                pd.Categorical(col, categories=names).codes, dtype=np.int32
             )
         self.codes = jnp.asarray(codes)
         self.var_index = {v: j for j, v in enumerate(self.variables)}

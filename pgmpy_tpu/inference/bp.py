@@ -233,7 +233,17 @@ class JunctionTreeProgram:
     # the swap is an atomic dict write picked up by the next calibrate.
     UPGRADE_THRESHOLD = 1000
 
-    def executor(self, operation):
+    def executor(self, operation, one_shot=False):
+        """``one_shot=True`` is for callers that calibrate ONCE per program
+        (the per-signature query builds): compile time dominates there, so
+        stage0 and the message segments stay separate programs (they
+        compile concurrently) and no background monolithic upgrade is
+        scheduled."""
+        if one_shot:
+            key = (operation, "one_shot")
+            if key not in self._fns:
+                self._fns[key] = self._build(operation, self.CHUNK, fuse=False)
+            return self._fns[key]
         if operation in self._fns:
             return self._fns[operation]
         calibrate = self._build(operation, self.CHUNK)
@@ -264,7 +274,7 @@ class JunctionTreeProgram:
         if t is not None:
             t.join(timeout)
 
-    def _build(self, operation, chunk_size):
+    def _build(self, operation, chunk_size, fuse=True):
         messages = self.messages
         potential_specs = self.potential_specs
         clique_shapes = self.clique_shapes
@@ -295,6 +305,45 @@ class JunctionTreeProgram:
             messages[i : i + chunk_size]
             for i in range(0, len(messages), chunk_size)
         ]
+
+        if fuse and len(chunks) <= 1:
+            # FUSED single program: stage0 inlined with the full message
+            # schedule, so calibration is ONE dispatch and XLA fuses the
+            # factor products into the first messages.  This is the
+            # monolithic-upgrade target and the default for small trees
+            # (<= chunk_size messages).
+            chunk = chunks[0] if chunks else []
+
+            def fused(factor_arrays):
+                beliefs = list(stage0(factor_arrays))
+                mu = [None] * len(sepset_shapes)
+                for src, dst, reduce_axes, perm, (bperm, bspec), edge, fresh in chunk:
+                    if operation == "marginalize":
+                        sigma = jnp.sum(beliefs[src], axis=reduce_axes)
+                    else:
+                        sigma = jnp.max(beliefs[src], axis=reduce_axes)
+                    if perm != tuple(range(len(perm))):
+                        sigma = jnp.transpose(sigma, perm)
+                    if normalize_messages:
+                        sigma = sigma / jnp.maximum(jnp.sum(sigma), TINY)
+                    if fresh:
+                        ratio = sigma
+                    else:
+                        ratio = sigma / jnp.maximum(mu[edge], TINY)
+                    beliefs[dst] = beliefs[dst] * _expand(ratio, bperm, bspec)
+                    mu[edge] = sigma
+                return tuple(beliefs), tuple(mu)
+
+            fused_jit = jax.jit(fused)
+            fused_jit.lower(
+                [jax.ShapeDtypeStruct(s, dtype) for s in self.factor_shapes]
+            ).compile()
+
+            def calibrate(factor_arrays):
+                b, m = fused_jit(factor_arrays)
+                return list(b), list(m)
+
+            return calibrate
 
         def make_segment(chunk):
             # static I/O manifest: only the buffers this chunk touches
@@ -413,7 +462,7 @@ class _CompiledBPQuery:
         self.kept = [v for v in ev_vars if v in kept_evidence]
 
         inner = BeliefPropagation(model)
-        inner._calibrate_junction_tree(operation="marginalize")
+        inner._calibrate_junction_tree(operation="marginalize", one_shot=True)
         program = inner._program
         beliefs, mu = inner._raw_beliefs
         inner._raw_beliefs = None  # keep the big factor dicts unmaterialized
@@ -502,7 +551,32 @@ class _CompiledBPQuery:
             )
             return values / jnp.sum(values)
 
+        self._run = run
         self._fn = jax.jit(run)
+        self._batch_fn = None
+
+    def batch(self, evidence):
+        """P(query | evidence_row) for every row: one vmapped dispatch of
+        the per-signature contraction (codes gain a leading batch axis;
+        the per-row normalization vmaps with it)."""
+        n = len(next(iter(evidence.values())))
+        codes = np.empty((n, len(self.kept)), dtype=np.int32)
+        for k, var in enumerate(self.kept):
+            mapping = self._code_maps[k]
+            codes[:, k] = [
+                mapping[s] if s in mapping else int(s) for s in evidence[var]
+            ]
+        import contextlib
+
+        if self._batch_fn is None:
+            self._batch_fn = jax.jit(jax.vmap(self._run))
+        ctx = (
+            jax.default_device(self._device)
+            if self._device is not None
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            return self._batch_fn(jnp.asarray(codes))
 
     def encode(self, evidence):
         codes = np.empty(len(self.kept), dtype=np.int32)
@@ -662,10 +736,10 @@ class BeliefPropagation(Inference):
                 else None
             )
 
-    def _calibrate_junction_tree(self, operation):
+    def _calibrate_junction_tree(self, operation, one_shot=False):
         program = self._program
         arrays = [f.values for f in self._input_factors]
-        beliefs, mu = program.executor(operation)(arrays)
+        beliefs, mu = program.executor(operation, one_shot=one_shot)(arrays)
         self._raw_beliefs = (beliefs, mu)
         self._calibrated_operation = operation
 
@@ -798,6 +872,38 @@ class BeliefPropagation(Inference):
         if joint:
             return result.normalize(inplace=False)
         return result
+
+    def query_batch(self, variables, evidence):
+        """Posterior P(variables | evidence_row) for EVERY row of a batch
+        of evidence assignments through the calibrated tree: the
+        per-signature covering-subtree contraction (Koller & Friedman
+        Alg. 10.4) is vmapped over a batch axis of evidence codes, so N
+        rows cost one dispatch.  Mirrors ``VariableElimination.
+        query_batch``'s contract (the device analogue of the reference's
+        joblib per-row predict loop, ``DiscreteBayesianNetwork.py:731-911``).
+
+        Parameters
+        ----------
+        variables : list of query variables
+        evidence : dict {var: sequence of state names/indices}, all the
+            same length n
+
+        Returns
+        -------
+        (values, state_names): values has shape (n, card_q1, ...) with
+        each row normalized; state_names covers the query variables.
+        """
+        if not evidence:
+            raise ValueError("query_batch requires evidence; use query() otherwise")
+        if not isinstance(self.model, DiscreteBayesianNetwork):
+            raise NotImplementedError(
+                "query_batch is implemented for DiscreteBayesianNetwork models"
+            )
+        prog = self._get_compiled_query(
+            tuple(variables), tuple(sorted(evidence.keys(), key=str))
+        )
+        values = prog.batch(evidence)
+        return values, dict(prog.state_names)
 
     def map_query(
         self, variables=None, evidence=None, virtual_evidence=None, show_progress=False

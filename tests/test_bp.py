@@ -203,3 +203,44 @@ class TestMonolithicUpgrade:
         finally:
             JunctionTreeProgram.CHUNK = old_chunk
             JunctionTreeProgram.UPGRADE_THRESHOLD = old_thresh
+
+
+class TestBPQueryBatch:
+    def test_matches_per_row_query_and_ve(self):
+        import numpy as np
+
+        from pgmpy_tpu.inference import VariableElimination
+        from pgmpy_tpu.inference.bp import BeliefPropagation
+        from pgmpy_tpu.utils import get_example_model
+
+        model = get_example_model("asia")
+        bp = BeliefPropagation(model)
+        ve = VariableElimination(model)
+        rows = {
+            "asia": ["yes", "no", "yes", "no"],
+            "smoke": ["no", "no", "yes", "yes"],
+        }
+        values, names = bp.query_batch(["dysp", "xray"], rows)
+        values = np.asarray(values)
+        assert values.shape[0] == 4
+        ve_values, ve_names = ve.query_batch(["dysp", "xray"], rows)
+        np.testing.assert_allclose(values, np.asarray(ve_values), atol=2e-5)
+        assert names == ve_names
+        for i in range(4):
+            single = bp.query(
+                ["dysp", "xray"],
+                evidence={"asia": rows["asia"][i], "smoke": rows["smoke"][i]},
+            )
+            np.testing.assert_allclose(
+                values[i], np.asarray(single.values), atol=2e-5
+            )
+
+    def test_requires_evidence(self):
+        import pytest as _pytest
+
+        from pgmpy_tpu.inference.bp import BeliefPropagation
+        from pgmpy_tpu.utils import get_example_model
+
+        bp = BeliefPropagation(get_example_model("cancer"))
+        with _pytest.raises(ValueError):
+            bp.query_batch(["Smoker"], {})
