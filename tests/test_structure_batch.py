@@ -209,3 +209,44 @@ class TestBatchedScores:
         cache.local_score("A", ["C", "B"])
         cache.local_score("A", ["B", "C"])
         assert s._coded.n_dispatches - before == 1
+
+
+class TestScoringAutoSelect:
+    """get_scoring_method(None) mirrors the reference's dtype-based
+    default (StructureScore.py:67-69): bic-d / bic-g / bic-cg."""
+
+    def test_defaults_by_dtype(self):
+        import numpy as np
+        import pandas as pd
+
+        from pgmpy_tpu.estimators.scores import (
+            BIC,
+            BICCondGauss,
+            BICGauss,
+            get_scoring_method,
+        )
+
+        rng = np.random.default_rng(0)
+        disc = pd.DataFrame(
+            rng.integers(0, 2, (50, 2)).astype(str), columns=["a", "b"]
+        )
+        cont = pd.DataFrame(rng.normal(size=(50, 2)), columns=["a", "b"])
+        mixed = pd.DataFrame(
+            {"a": rng.normal(size=50), "b": rng.integers(0, 2, 50).astype(str)}
+        )
+        assert isinstance(get_scoring_method(None, disc)[0], BIC)
+        assert isinstance(get_scoring_method(None, cont)[0], BICGauss)
+        assert isinstance(get_scoring_method(None, mixed)[0], BICCondGauss)
+
+    def test_hillclimb_continuous_default(self):
+        import numpy as np
+        import pandas as pd
+
+        from pgmpy_tpu.estimators import HillClimbSearch
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=400)
+        y = 2 * x + rng.normal(size=400) * 0.1
+        df = pd.DataFrame({"x": x, "y": y})
+        dag = HillClimbSearch(df).estimate(show_progress=False)
+        assert set(map(frozenset, dag.edges())) == {frozenset(("x", "y"))}
