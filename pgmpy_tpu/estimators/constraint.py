@@ -49,16 +49,17 @@ class BaseConstraintEstimator(StructureEstimator):
             )
             # discrete power-divergence family -> whole-level batched path
             # (identical results; the statistic is a pure function of the
-            # count tensor, which batches into one device scatter-add)
+            # count tensor, which batches into one device scatter-add).
+            # Single registry: citests.BATCHABLE_DISCRETE_TESTS (None =
+            # caller-supplied lambda_).
             _by_fn = {
-                _ct.chi_square: "pearson",
-                _ct.g_sq: "log-likelihood",
-                _ct.log_likelihood: "log-likelihood",
-                _ct.modified_log_likelihood: "mod-log-likelihood",
-                _ct.power_divergence: kwargs.get("lambda_", "cressie-read"),
+                getattr(_ct, name): lam
+                for name, lam in _ct.BATCHABLE_DISCRETE_TESTS.items()
             }
             if test_fn in _by_fn and self._coded is not None:
                 batch_lambda = _by_fn[test_fn]
+                if batch_lambda is None:
+                    batch_lambda = kwargs.get("lambda_", "cressie-read")
         elif self.independencies is not None:
             variables = sorted(self.independencies.get_all_variables(), key=str)
             test_fn = get_callable_ci_test("independence_match")

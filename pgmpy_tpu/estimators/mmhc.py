@@ -18,15 +18,9 @@ from pgmpy_tpu.base.undirected import UndirectedGraph
 from pgmpy_tpu.estimators.base import StructureEstimator
 from pgmpy_tpu.estimators.citests import power_divergence_batch
 from pgmpy_tpu.estimators.hill_climb import HillClimbSearch
+from pgmpy_tpu.utils.mathext import powerset as _powerset
 
 
-def _powerset(iterable):
-    """Subsets in the reference's size-ascending order
-    (``utils/mathext.py:212-221``)."""
-    items = list(iterable)
-    return itertools.chain.from_iterable(
-        itertools.combinations(items, r) for r in range(len(items) + 1)
-    )
 
 
 class MmhcEstimator(StructureEstimator):

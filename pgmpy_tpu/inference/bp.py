@@ -563,9 +563,20 @@ class _CompiledBPQuery:
         codes = np.empty((n, len(self.kept)), dtype=np.int32)
         for k, var in enumerate(self.kept):
             mapping = self._code_maps[k]
-            codes[:, k] = [
-                mapping[s] if s in mapping else int(s) for s in evidence[var]
-            ]
+            card = self._kept_cards[k]
+            col = np.empty(n, dtype=np.int32)
+            for i, state in enumerate(evidence[var]):
+                # same validation as encode(): silent out-of-range codes
+                # would one-hot to all-zeros and produce NaN rows
+                if state in mapping:
+                    col[i] = mapping[state]
+                elif isinstance(state, (int, np.integer)) and 0 <= state < card:
+                    col[i] = int(state)
+                else:
+                    raise ValueError(
+                        f"Evidence state {state!r} not valid for {var}"
+                    )
+            codes[:, k] = col
         import contextlib
 
         if self._batch_fn is None:

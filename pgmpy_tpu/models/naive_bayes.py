@@ -46,12 +46,23 @@ class NaiveBayes(DiscreteBayesianNetwork):
                 observed=observed,
                 include_latents=include_latents,
             )
-        if observed and self.dependent in observed:
+        observed = (
+            [observed]
+            if isinstance(observed, str)
+            else list(observed) if observed is not None else []
+        )
+        if self.dependent in observed:
             # reference does set(start), which splits a multi-character
             # node NAME into characters (NaiveBayes.py:139-140 only ever
             # sees 1-char names in its doctests) — return {start} instead
             return {start} if isinstance(start, str) else set(start)
-        return set(self.nodes()) - set(observed if observed else [])
+        return set(self.nodes()) - set(observed)
+
+    def is_dconnected(self, start, end, observed=None, include_latents=False):
+        # the closed-form active_trail_nodes above returns a plain SET for
+        # positional calls (reference contract), so the DAG implementation's
+        # `[start]` subscript doesn't apply here
+        return end in self.active_trail_nodes(start, observed=observed)
 
     def local_independencies(self, variables):
         independencies = Independencies()

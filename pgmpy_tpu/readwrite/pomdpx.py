@@ -90,11 +90,11 @@ class PomdpXReader:
         return out
 
     def get_parameter_dd(self, parameter):
-        parameter_el = parameter
         """Decision-diagram parameter as nested dicts: {root var: edges},
         where an edge value is a terminal string, a nested {var: edges}
         node, or a SubDAG attribute dict; an optional SubDAGTemplate rides
         along under its own key (ref PomdpX.py:308-350)."""
+        parameter_el = parameter
 
         def parse_node(node_el):
             edges = {}
@@ -142,9 +142,9 @@ class PomdpXReader:
         return self.get_parameter_tbl(parameter_el)
 
     def get_parameter_tbl(self, parameter):
-        parameter_el = parameter
         """[{Instance: [...], ProbTable/ValueTable: [...]}] rows of a
         TBL-typed parameter."""
+        parameter_el = parameter
         rows = []
         for entry in parameter_el.findall("Entry"):
             instance = entry.find("Instance").text.split()

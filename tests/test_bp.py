@@ -186,20 +186,24 @@ class TestMonolithicUpgrade:
             JunctionTreeProgram.CHUNK = 7  # force many segments
             JunctionTreeProgram.UPGRADE_THRESHOLD = 1  # force the upgrade
             bp = BeliefPropagation(model)
-            bp.calibrate()
-            chunked = {
-                c: np.asarray(f.values) for c, f in bp.get_clique_beliefs().items()
-            }
-            bp._program.wait_for_upgrade("marginalize", timeout=300)
-            # the swapped-in executor must be a different callable
-            assert bp._program._upgrade_threads["marginalize"] is not None
-            bp.calibrate()
-            mono = {
-                c: np.asarray(f.values) for c, f in bp.get_clique_beliefs().items()
-            }
-            assert chunked.keys() == mono.keys()
-            for c in chunked:
-                np.testing.assert_allclose(chunked[c], mono[c], rtol=2e-5, atol=1e-7)
+            prog = bp._program
+            # executor() RETURNS the chunked build even though the swap may
+            # land in _fns at any time afterwards
+            chunked_fn = prog.executor("marginalize")
+            arrays = [f.values for f in bp._input_factors]
+            chunked_beliefs, _ = chunked_fn(arrays)
+            prog.wait_for_upgrade("marginalize", timeout=300)
+            # the monolithic program must actually have swapped in — a
+            # silently-failed background compile would otherwise make this
+            # test compare chunked against chunked
+            mono_fn = prog.executor("marginalize")
+            assert mono_fn is not chunked_fn
+            mono_beliefs, _ = mono_fn(arrays)
+            assert len(chunked_beliefs) == len(mono_beliefs)
+            for a, b in zip(chunked_beliefs, mono_beliefs):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
+                )
         finally:
             JunctionTreeProgram.CHUNK = old_chunk
             JunctionTreeProgram.UPGRADE_THRESHOLD = old_thresh

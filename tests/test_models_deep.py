@@ -456,3 +456,28 @@ class TestNaiveBayes:
         nb.fit(data, parent_node="C")
         pred = nb.predict(pd.DataFrame({"X": ["t", "f"]}))
         assert pred.loc[0, "C"] == "y" and pred.loc[1, "C"] == "n"
+
+
+class TestNaiveBayesTrails:
+    """r4 code-review regressions: the closed-form active_trail_nodes
+    override must not break is_dconnected, and a bare-string observed
+    must not be character-split."""
+
+    def _model(self):
+        from pgmpy_tpu.models import NaiveBayes
+
+        m = NaiveBayes()
+        m.add_edges_from([("cls", "temp"), ("cls", "hum"), ("cls", "wind")])
+        return m
+
+    def test_is_dconnected_positional(self):
+        m = self._model()
+        assert m.is_dconnected("temp", "hum")
+        assert not m.is_dconnected("temp", "hum", observed=["cls"])
+
+    def test_string_observed_not_char_split(self):
+        m = self._model()
+        trails = m.active_trail_nodes("hum", observed="temp")
+        assert trails == {"cls", "hum", "wind"}
+        blocked = m.active_trail_nodes("hum", observed="cls")
+        assert blocked == {"hum"}
