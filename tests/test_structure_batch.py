@@ -9,9 +9,20 @@ odometer.  Reference behavior being matched: joblib fan-outs in
 the candidate loop in ``HillClimbSearch.py:63-140``.
 """
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
+
+# The unbatched-comparison halves intentionally exercise the per-op
+# dispatch path; through the real TPU tunnel that is minutes of pure
+# latency (the exact pathology batching removes), so they run CPU-lane
+# only — the batched halves still run on hardware.
+_skip_unbatched_on_tpu = pytest.mark.skipif(
+    bool(os.environ.get("PGMPY_TPU_LANE")),
+    reason="per-op comparison path is tunnel-latency-bound on the TPU lane",
+)
 
 from pgmpy_tpu.estimators import GES, PC, HillClimbSearch
 from pgmpy_tpu.estimators.base import _CodedData
@@ -22,6 +33,9 @@ from pgmpy_tpu.estimators.citests import (
     power_divergence_batch,
 )
 from pgmpy_tpu.estimators.scores import BDeu, ScoreCache, get_scoring_method
+
+# numeric golden module: also runs in the real-TPU parity lane
+pytestmark = pytest.mark.tpu
 
 
 @pytest.fixture(scope="module")
@@ -112,6 +126,7 @@ class TestBatchedCITests:
 
 
 class TestPCSkeletonBatched:
+    @_skip_unbatched_on_tpu
     def test_o_levels_dispatches_and_equality(self, alarm_df):
         est = PC(alarm_df)
         before = est._coded.n_dispatches
@@ -142,6 +157,7 @@ class TestPCSkeletonBatched:
 
 
 class TestHillClimbBatched:
+    @_skip_unbatched_on_tpu
     def test_o_iterations_dispatches_and_equality(self, alarm_df):
         hc = HillClimbSearch(alarm_df)
         scorer, cache = get_scoring_method("bic-d", alarm_df, True)
@@ -173,6 +189,7 @@ class TestHillClimbBatched:
 
 
 class TestGESBatched:
+    @_skip_unbatched_on_tpu
     def test_equality_and_dispatches(self, small_df):
         scorer = BDeu(small_df)
         g = GES(small_df)
