@@ -1,6 +1,6 @@
 """Programmatic signature diff vs the live reference.
 
-Run with: PYTHONPATH=/tmp/refshims:/root/reference:/root/repo python tools/sig_sweep.py
+Run with: PYTHONPATH=/root/repo/tools/refshims:/root/reference:/root/repo python tools/sig_sweep.py
 
 VERDICT r3 item 5 acceptance: must print TOTALS: classes=0 methods=0 params=0.
 Reports missing classes, missing methods, and missing parameters in every
