@@ -28,6 +28,60 @@ def _bincount_weighted(flat_idx, weights, length):
     return weighted_bincount(flat_idx, weights, length)
 
 
+@partial(jax.jit, static_argnums=(5, 6))
+def _padded_counts_matmul_kernel(codes, w, col_idx, cards, spec_w, m, n_chunk):
+    """Batched count tables as a one-hot MXU contraction instead of a
+    scatter-add.  TPU scatter lowers to serialized updates (~17 ns/elem
+    measured on v5e — 136 ms for an 800-spec x 10k-row PC level batch);
+    building the per-chunk one-hot and contracting on the MXU is
+    bandwidth-bound at s*n*m*4 bytes instead, ~25-50x faster for the
+    small tables (m <= ~1k) structure learning produces.
+
+    Returns the (s, m) table matrix: row i is spec i's flattened count
+    table in its first ``size_i`` entries.
+    """
+    s = col_idx.shape[0]
+    k = col_idx.shape[1]
+    flat = jnp.zeros((s, codes.shape[0]), dtype=jnp.int32)
+    valid = jnp.ones((s, codes.shape[0]), dtype=bool)
+    for j in range(k):  # k <= 8, static unroll over spec columns
+        cj = col_idx[:, j]
+        real = cj >= 0
+        code_j = codes[:, jnp.where(real, cj, 0)].T  # (s, n)
+        code_j = jnp.where(real[:, None], code_j, 0)
+        valid = valid & (code_j >= 0)
+        flat = flat * cards[:, j][:, None] + jnp.maximum(code_j, 0)
+    wgt = jnp.where(valid, w[None, :] * spec_w[:, None], 0.0)
+    flat = jnp.clip(flat, 0, m - 1)
+
+    n = flat.shape[1]
+    pad = (-n) % n_chunk
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)))
+        wgt = jnp.pad(wgt, ((0, 0), (0, pad)))
+    n_chunks = flat.shape[1] // n_chunk
+    flat_c = flat.reshape(s, n_chunks, n_chunk).transpose(1, 0, 2)
+    wgt_c = wgt.reshape(s, n_chunks, n_chunk).transpose(1, 0, 2)
+    iota = jnp.arange(m, dtype=jnp.int32)
+
+    def body(acc, xs):
+        f, ww = xs
+        onehot = (f[:, :, None] == iota).astype(config.DTYPE)  # (s, C, m)
+        acc = acc + jax.lax.dot_general(
+            ww[:, None, :],
+            onehot,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0, :]
+        return acc, None
+
+    out, _ = jax.lax.scan(
+        body, jnp.zeros((s, m), dtype=config.DTYPE), (flat_c, wgt_c)
+    )
+    return out
+
+
 @partial(jax.jit, static_argnums=(6,))
 def _padded_counts_kernel(codes, w, col_idx, cards, offsets, spec_w, total):
     """Shape-stable batched count kernel: many (variable, parents) tables
@@ -162,6 +216,9 @@ class _CodedData:
     # materialize 2 GB of indices in one program.  Chunking keeps peak
     # device memory ~128 MB while the dispatch count stays O(1)-ish.
     _MULTI_COUNTS_MAX_ELEMS = 1 << 24
+    # above this (bucketed) max table size the one-hot contraction's
+    # s*n*m work exceeds the serialized scatter's s*n — use scatter
+    _MATMUL_MAX_TABLE = 1024
 
     def multi_counts(self, specs, weights=None):
         """Count tables for many (variable, parents) specs in ONE device
@@ -255,6 +312,8 @@ class _CodedData:
         s_pad = 1 << max(3, (s_real - 1).bit_length())
         k_pad = 1 << max(0, (k_real - 1).bit_length())
         total = 1 << max(10, (total_real - 1).bit_length())
+        m_real = max(sizes)
+        m = 1 << max(3, (m_real - 1).bit_length())
 
         col_idx = np.full((s_pad, k_pad), -1, dtype=np.int32)
         cards_a = np.ones((s_pad, k_pad), dtype=np.int32)
@@ -272,6 +331,32 @@ class _CodedData:
             off += sizes[i]
 
         self.n_dispatches += 1
+        # TPU scatter serializes (~17 ns/element measured); route small-
+        # table batches through the one-hot MXU contraction there.  CPU
+        # (the test lane) keeps the scatter — one-hot materialization is
+        # slower than host scatter.
+        use_matmul = (
+            jax.default_backend() != "cpu" and m <= self._MATMUL_MAX_TABLE
+        )
+        if use_matmul:
+            # chunk size: keep the (s, C, m) one-hot tile ~<= 2^24 elems
+            n_chunk = max(128, min(4096, (1 << 24) // max(s_pad * m, 1)))
+            tables = np.asarray(
+                _padded_counts_matmul_kernel(
+                    self.codes,
+                    w,
+                    jnp.asarray(col_idx),
+                    jnp.asarray(cards_a),
+                    jnp.asarray(spec_w, dtype=config.DTYPE),
+                    m,
+                    int(n_chunk),
+                )
+            )
+            return [
+                tables[i, :size].reshape(cards_l[i][0], -1)
+                for i, size in enumerate(sizes)
+            ]
+
         combined = np.asarray(
             _padded_counts_kernel(
                 self.codes,

@@ -267,3 +267,49 @@ class TestScoringAutoSelect:
         df = pd.DataFrame({"x": x, "y": y})
         dag = HillClimbSearch(df).estimate(show_progress=False)
         assert set(map(frozenset, dag.edges())) == {frozenset(("x", "y"))}
+
+
+class TestMatmulCountsKernel:
+    """The one-hot MXU contraction path (used on TPU for small tables)
+    must agree exactly with the scatter path.  On CPU we call the kernel
+    directly — integer counts are exact in f32 either way."""
+
+    def test_matmul_kernel_matches_scatter(self, small_df):
+        import jax.numpy as jnp
+
+        from pgmpy_tpu.estimators.base import _padded_counts_matmul_kernel
+
+        df = small_df.copy()
+        df.loc[: len(df) // 5, "C"] = np.nan  # exercise the validity mask
+        cd = _CodedData(df)
+        specs = [("A", ("B",)), ("D", ("B", "C")), ("B", ()), ("C", ("A", "D"))]
+        expected = [np.asarray(t) for t in cd.multi_counts_padded(specs)]
+
+        cols_l, cards_l, sizes = [], [], []
+        for v, ps in specs:
+            cs = [cd.var_index[v]] + [cd.var_index[p] for p in ps]
+            ca = [cd.cards[v]] + [cd.cards[p] for p in ps]
+            cols_l.append(cs)
+            cards_l.append(ca)
+            sizes.append(int(np.prod(ca)))
+        s_pad, k_pad, m = 8, 4, 32
+        col_idx = np.full((s_pad, k_pad), -1, np.int32)
+        cards_a = np.ones((s_pad, k_pad), np.int32)
+        spec_w = np.zeros(s_pad, np.float32)
+        for i, (cs, ca) in enumerate(zip(cols_l, cards_l)):
+            st = k_pad - len(cs)
+            col_idx[i, st:] = cs
+            cards_a[i, st:] = ca
+            spec_w[i] = 1.0
+        w = jnp.ones((cd.n,), dtype=jnp.float32)
+        tables = np.asarray(
+            _padded_counts_matmul_kernel(
+                cd.codes, w, jnp.asarray(col_idx), jnp.asarray(cards_a),
+                jnp.asarray(spec_w), m, 512,
+            )
+        )
+        for i, size in enumerate(sizes):
+            got = tables[i, :size].reshape(cards_l[i][0], -1)
+            np.testing.assert_array_equal(got, expected[i])
+        # padding rows contribute nothing
+        assert np.all(tables[len(specs):] == 0.0)
