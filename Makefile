@@ -1,6 +1,6 @@
 # Test / bench gates for pgmpy_tpu.
 
-.PHONY: test test-tpu bench dryrun
+.PHONY: test test-tpu bench dryrun sigsweep
 
 # Full unit suite on forced-CPU jax (tests/conftest.py pins the platform
 # and a virtual 8-device mesh for sharding tests). ~2 min.
@@ -20,3 +20,9 @@ bench:
 # Multi-chip sharding compile check on 8 virtual devices.
 dryrun:
 	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+# API-parity gate vs the live reference: exits non-zero on any missing
+# class/method/param OR any namespace import failure (no vacuous success).
+sigsweep:
+	PYTHONPATH=/root/repo/tools/refshims:/root/reference:/root/repo \
+		python tools/sig_sweep.py

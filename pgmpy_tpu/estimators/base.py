@@ -330,7 +330,6 @@ class _CodedData:
             spec_w[i] = 1.0
             off += sizes[i]
 
-        self.n_dispatches += 1
         # TPU scatter serializes (~17 ns/element measured); route small-
         # table batches through the one-hot MXU contraction there.  CPU
         # (the test lane) keeps the scatter — one-hot materialization is
@@ -338,9 +337,27 @@ class _CodedData:
         use_matmul = (
             jax.default_backend() != "cpu" and m <= self._MATMUL_MAX_TABLE
         )
+        n_chunk = 0
         if use_matmul:
-            # chunk size: keep the (s, C, m) one-hot tile ~<= 2^24 elems
-            n_chunk = max(128, min(4096, (1 << 24) // max(s_pad * m, 1)))
+            # chunk size: keep the (s, C, m) one-hot tile <= 2^24 elems.
+            # When even a 128-row chunk would blow that bound (s_pad*m >
+            # 2^17), bound MEMORY not just the chunk: split the spec batch
+            # (halving s_pad) rather than flooring n_chunk — the old
+            # max(128, ...) floor let the tile exceed 2^24 by up to 16x
+            # (~4 GB peak near the table-size cap) and risked device OOM.
+            n_chunk = min(4096, (1 << 24) // max(s_pad * m, 1))
+            if n_chunk < 128:
+                if s_real > 1:
+                    half = max(1, s_real // 2)
+                    return self.multi_counts_padded(
+                        specs[:half], weights=weights
+                    ) + self.multi_counts_padded(specs[half:], weights=weights)
+                # single oversized spec: the scatter kernel's working set
+                # is O(total), not O(s*chunk*m) — use it instead
+                use_matmul = False
+
+        self.n_dispatches += 1
+        if use_matmul:
             tables = np.asarray(
                 _padded_counts_matmul_kernel(
                     self.codes,

@@ -499,6 +499,15 @@ class ScoreCache(StructureScore):
             keys.append(key)
             needed.append((variable, list(parents)))
         if needed:
+            # a prime batch larger than the LRU capacity would evict its
+            # own earliest entries before the per-candidate local_score
+            # loop reads them — silently reverting to one device dispatch
+            # per candidate (the exact pathology batching exists to
+            # remove).  Grow the cache so every primed entry survives the
+            # consuming iteration.
+            if len(needed) + len(self._cache) > self.max_size:
+                self.max_size = 2 * (len(needed) + len(self._cache))
+                self._cache.max_size = self.max_size
             for key, score in zip(
                 keys, self.base_scorer.local_scores_batch(needed)
             ):

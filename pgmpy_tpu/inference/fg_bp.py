@@ -1,18 +1,169 @@
 """BeliefPropagationWithMessagePassing: loopy sum-product BP on factor
-graphs.
+graphs, compiled to ONE device program per graph.
 
 Reference: ``/root/reference/pgmpy/inference/ExactInference.py:1320-1681``
-schedules messages recursively per query; here a synchronous *flooding*
-schedule updates every edge each round (vectorized per factor via the
-interleaved einsum core) until messages converge — exact on trees,
-standard loopy BP otherwise.
+schedules messages recursively per query (a Python call per message).
+TPU-native redesign: a synchronous *flooding* schedule over padded
+per-edge message tensors — all factor->variable messages live in one
+``(n_edges, max_card)`` array, every round updates every edge with a
+handful of batched einsums (factors bucketed by arity), and the rounds
+run inside ``jax.lax.while_loop`` until the messages converge.  Exact on
+trees, standard loopy BP otherwise; evidence/virtual-evidence and
+warm-start messages enter as array inputs, so each graph compiles
+exactly once.
 """
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from pgmpy_tpu.factors.discrete import DiscreteFactor
 from pgmpy_tpu.models.factor_graph import FactorGraph
 from pgmpy_tpu.ops.einsum import make_axis_map, sum_product
+
+
+class _FloodingProgram:
+    """Host compile artifact for synchronous ("flooding") BP on a factor
+    graph: static edge/neighbor index tables + a jitted
+    ``lax.while_loop`` engine over padded message tensors.
+
+    Message layout: edge ``e`` is the e-th ``(factor, variable)``
+    incidence in factor order; ``f2v``/``v2f`` are ``(E, C)`` arrays
+    (``C = max cardinality``) with entries beyond a variable's true
+    cardinality held at zero (zero-padded factor tables keep those
+    states inert through every product and sum).
+    """
+
+    def __init__(self, factor_scopes, factor_values, cardinality,
+                 max_iter=100, tol=1e-8, dtype=None):
+        from pgmpy_tpu.config import config
+
+        dtype = dtype or config.DTYPE
+        self.max_iter = int(max_iter)
+        self.tol = float(tol)
+
+        # edge enumeration: (factor, position-in-scope) in factor order
+        self.edges = []  # (fi, var)
+        edge_id = {}
+        for fi, scope in enumerate(factor_scopes):
+            for var in scope:
+                edge_id[(fi, var)] = len(self.edges)
+                self.edges.append((fi, var))
+        E = len(self.edges)
+        C = max(int(c) for c in cardinality.values())
+        self.n_edges, self.max_card = E, C
+        self.cards = [int(cardinality[var]) for _, var in self.edges]
+
+        # per-edge validity mask (1 on true states, 0 on padding)
+        mask = np.zeros((E, C), dtype=np.float32)
+        for e, card in enumerate(self.cards):
+            mask[e, :card] = 1.0
+        self._mask = jnp.asarray(mask, dtype=dtype)
+
+        # v2f neighbor table: for edge (fi, var), the other edges (fj, var)
+        # with fj != fi.  Padded with E -> a dummy all-ones row, the
+        # multiplicative identity.
+        var_edges = {}
+        for e, (fi, var) in enumerate(self.edges):
+            var_edges.setdefault(var, []).append(e)
+        D = max((len(v) for v in var_edges.values()), default=1)
+        D = max(D - 1, 1)
+        nbr = np.full((E, D), E, dtype=np.int32)
+        for e, (fi, var) in enumerate(self.edges):
+            others = [e2 for e2 in var_edges[var] if e2 != e]
+            nbr[e, : len(others)] = others
+        self._nbr = jnp.asarray(nbr)
+
+        # f2v update: bucket factors by arity; pad each table to (C,)*a.
+        # For arity-a factors the outgoing message toward scope position k
+        # is one batched einsum over the group.
+        groups = {}  # arity -> list of factor indices
+        for fi, scope in enumerate(factor_scopes):
+            groups.setdefault(len(scope), []).append(fi)
+        self._groups = []
+        out_edge_order = []  # edge id produced by each output row, in order
+        for arity in sorted(groups):
+            fis = groups[arity]
+            tables = np.zeros((len(fis),) + (C,) * arity, dtype=np.float32)
+            eidx = np.zeros((len(fis), arity), dtype=np.int32)
+            for row, fi in enumerate(fis):
+                vals = np.asarray(factor_values[fi], dtype=np.float32)
+                tables[row][tuple(slice(0, s) for s in vals.shape)] = vals
+                for k, var in enumerate(factor_scopes[fi]):
+                    eidx[row, k] = edge_id[(fi, var)]
+            for k in range(arity):
+                out_edge_order.extend(int(x) for x in eidx[:, k])
+            self._groups.append(
+                (arity, jnp.asarray(tables, dtype=dtype), jnp.asarray(eidx))
+            )
+        # inverse permutation: concatenated group outputs -> edge order
+        inv = np.empty(E, dtype=np.int32)
+        inv[np.asarray(out_edge_order, dtype=np.int32)] = np.arange(
+            E, dtype=np.int32
+        )
+        self._inv_perm = jnp.asarray(inv)
+
+        self._fn = jax.jit(self._make_engine())
+
+    def _make_engine(self):
+        mask, nbr, groups, inv_perm = (
+            self._mask, self._nbr, self._groups, self._inv_perm,
+        )
+        E, C = self.n_edges, self.max_card
+        max_iter, tol = self.max_iter, self.tol
+
+        def normalize(msgs):
+            total = jnp.sum(msgs, axis=-1, keepdims=True)
+            return jnp.where(total > 0, msgs / jnp.where(total > 0, total, 1.0), msgs)
+
+        def round_fn(f2v, fixed):
+            # variable -> factor: exclusive product of the OTHER factors'
+            # messages into the shared variable (dummy row E = identity)
+            f2v_ext = jnp.concatenate([f2v, jnp.ones((1, C), f2v.dtype)])
+            v2f = fixed * jnp.prod(f2v_ext[nbr], axis=1)
+            v2f = normalize(v2f)
+            # factor -> variable: per arity bucket, one einsum per scope
+            # position k — factor table times the v2f messages on the
+            # other positions, contracted down to axis k
+            outs = []
+            for arity, tables, eidx in groups:
+                msgs = v2f[eidx]  # (F, arity, C)
+                f_ax = 0  # shared batch axis label; scope axes are 1..arity
+                for k in range(arity):
+                    operands, axes = [tables], [(f_ax,) + tuple(range(1, arity + 1))]
+                    for k2 in range(arity):
+                        if k2 != k:
+                            operands.append(msgs[:, k2, :])
+                            axes.append((f_ax, k2 + 1))
+                    outs.append(
+                        sum_product(axes, (f_ax, k + 1), *operands)
+                    )
+            new_f2v = normalize(jnp.concatenate(outs, axis=0)[inv_perm])
+            delta = jnp.max(jnp.abs(new_f2v - f2v))
+            return new_f2v, delta
+
+        def engine(fixed, f2v_init):
+            def cond(carry):
+                _, i, delta = carry
+                return (i < max_iter) & (delta >= tol)
+
+            def body(carry):
+                f2v, i, _ = carry
+                new_f2v, delta = round_fn(f2v, fixed)
+                return new_f2v, i + 1, delta
+
+            f2v0 = f2v_init * mask
+            out, _, _ = jax.lax.while_loop(
+                cond, body, (f2v0, jnp.int32(0), jnp.asarray(jnp.inf, f2v0.dtype))
+            )
+            return out
+
+        return engine
+
+    def run(self, fixed, f2v_init):
+        """One device dispatch: flood until convergence (or ``max_iter``)."""
+        return self._fn(jnp.asarray(fixed), jnp.asarray(f2v_init))
 
 
 class BeliefPropagationWithMessagePassing:
@@ -25,6 +176,7 @@ class BeliefPropagationWithMessagePassing:
         self.variables = model.get_variable_nodes()
         self.factors = list(model.factors)
         self.cardinality = model.get_cardinality()
+        self._program = None
 
     def _message_key(self, fi, var):
         """Reference-compatible message key (ExactInference.py:1447):
@@ -33,71 +185,49 @@ class BeliefPropagationWithMessagePassing:
 
     def _run_flooding(self, fixed_var_messages, max_iter=100, tol=1e-8,
                       precomp_messages=None):
-        """Synchronous message passing.  ``fixed_var_messages``: {var:
-        ndarray} external (evidence/virtual-evidence) messages multiplied
-        into every var->factor message and final beliefs.
-        ``precomp_messages`` warm-starts the factor->variable messages (a
-        converged set from a previous ``query(get_messages=True)`` makes the
-        sweep converge immediately on trees)."""
-        import numpy as np
+        """Synchronous message passing, one compiled device program per
+        graph.  ``fixed_var_messages``: {var: ndarray} external
+        (evidence/virtual-evidence) messages multiplied into every
+        var->factor message and final beliefs.  ``precomp_messages``
+        warm-starts the factor->variable messages (a converged set from a
+        previous ``query(get_messages=True)`` makes the sweep converge
+        immediately on trees).  Evidence and warm starts are array INPUTS
+        to the compiled program, so signature changes never recompile."""
+        if (
+            self._program is None
+            or self._program.max_iter != max_iter
+            or self._program.tol != tol
+        ):
+            self._program = _FloodingProgram(
+                [list(f.variables) for f in self.factors],
+                [np.asarray(f.values) for f in self.factors],
+                self.cardinality,
+                max_iter=max_iter,
+                tol=tol,
+            )
+        program = self._program
+        E, C = program.n_edges, program.max_card
 
-        # message containers keyed by (factor_idx, var)
-        f2v = {}
-        v2f = {}
-        factor_scopes = [list(f.variables) for f in self.factors]
-        for fi, scope in enumerate(factor_scopes):
-            for var in scope:
-                key = self._message_key(fi, var)
-                if precomp_messages and key in precomp_messages:
-                    f2v[(fi, var)] = np.asarray(
-                        precomp_messages[key], dtype=np.float64
-                    )
-                else:
-                    f2v[(fi, var)] = (
-                        np.ones(self.cardinality[var]) / self.cardinality[var]
-                    )
-                v2f[(fi, var)] = np.ones(self.cardinality[var]) / self.cardinality[var]
+        fixed = np.zeros((E, C), dtype=np.float32)
+        f2v_init = np.zeros((E, C), dtype=np.float32)
+        for e, ((fi, var), card) in enumerate(zip(program.edges, program.cards)):
+            ext = fixed_var_messages.get(var)
+            fixed[e, :card] = 1.0 if ext is None else np.asarray(ext, dtype=np.float32)
+            key = self._message_key(fi, var)
+            if precomp_messages and key in precomp_messages:
+                f2v_init[e, :card] = np.asarray(
+                    precomp_messages[key], dtype=np.float32
+                )
+            else:
+                f2v_init[e, :card] = 1.0 / card
 
-        factor_values = [np.asarray(f.values, dtype=np.float64) for f in self.factors]
-
-        for _ in range(max_iter):
-            max_delta = 0.0
-            # variable -> factor
-            new_v2f = {}
-            for fi, scope in enumerate(factor_scopes):
-                for var in scope:
-                    msg = np.ones(self.cardinality[var])
-                    if var in fixed_var_messages:
-                        msg = msg * fixed_var_messages[var]
-                    for fj, scope_j in enumerate(factor_scopes):
-                        if fj != fi and var in scope_j:
-                            msg = msg * f2v[(fj, var)]
-                    total = msg.sum()
-                    if total > 0:
-                        msg = msg / total
-                    new_v2f[(fi, var)] = msg
-            v2f = new_v2f
-            # factor -> variable
-            for fi, scope in enumerate(factor_scopes):
-                vals = factor_values[fi]
-                for k, var in enumerate(scope):
-                    # multiply in messages from other vars, marginalize to var
-                    msg = vals
-                    for k2, var2 in enumerate(scope):
-                        if var2 != var:
-                            shape = [1] * len(scope)
-                            shape[k2] = -1
-                            msg = msg * v2f[(fi, var2)].reshape(shape)
-                    axes = tuple(k2 for k2 in range(len(scope)) if k2 != k)
-                    out = msg.sum(axis=axes)
-                    total = out.sum()
-                    if total > 0:
-                        out = out / total
-                    max_delta = max(max_delta, float(np.max(np.abs(out - f2v[(fi, var)]))))
-                    f2v[(fi, var)] = out
-            if max_delta < tol:
-                break
-        return f2v
+        out = np.asarray(program.run(fixed, f2v_init), dtype=np.float64)
+        return {
+            (fi, var): out[e, :card]
+            for e, ((fi, var), card) in enumerate(
+                zip(program.edges, program.cards)
+            )
+        }
 
     def calc_variable_node_message(self, variable, incoming_messages):
         """Outgoing variable-node message: normalized elementwise product of

@@ -87,6 +87,6 @@ def optimize(
 
 
 def pinverse(t):
-    matrix = t
     """Moore-Penrose pseudo-inverse."""
+    matrix = t
     return jnp.linalg.pinv(jnp.asarray(matrix))

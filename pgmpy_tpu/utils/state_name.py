@@ -52,9 +52,9 @@ class StateNameMixin:
         return self.name_to_no[var][state_name]
 
     def add_state_names(self, phi1):
-        other = phi1
         """Absorb state-name metadata from another factor (used by binary
         factor ops so the result knows every variable's states)."""
+        other = phi1
         if other is None:
             return
         self.state_names.update(other.state_names)

@@ -29,6 +29,7 @@ NAMESPACES = [
 ]
 
 missing_classes, missing_methods, missing_params = [], [], []
+import_failures, kwargs_skipped = [], []
 
 for ref_name, ours_name in NAMESPACES:
     try:
@@ -36,6 +37,7 @@ for ref_name, ours_name in NAMESPACES:
         ours = importlib.import_module(ours_name)
     except Exception as e:
         print(f"IMPORT FAIL {ref_name} / {ours_name}: {e}")
+        import_failures.append(ref_name)
         continue
     for cls_name in getattr(ref, "__all__", dir(ref)):
         if cls_name.startswith("_"):
@@ -55,6 +57,7 @@ for ref_name, ours_name in NAMESPACES:
             except (ValueError, TypeError):
                 continue
             if "kwargs" in op or "kwargs" in rp:
+                kwargs_skipped.append(f"{ref_name}.{cls_name}")
                 continue
             lost = rp - op - {"self", "n_jobs", "show_progress"}
             if lost:
@@ -93,6 +96,18 @@ for x in sorted(set(missing_methods)):
 print("== missing params ==")
 for x in sorted(set(missing_params)):
     print(" ", x)
+print("== **kwargs-skipped functions (param sets not compared) ==")
+for x in sorted(set(kwargs_skipped)):
+    print(" ", x)
 print(
     f"TOTALS: classes={len(set(missing_classes))} methods={len(set(missing_methods))} params={len(set(missing_params))}"
+    f" kwargs_skipped={len(set(kwargs_skipped))}"
 )
+# the parity gate must fail loudly, not report vacuous success, when the
+# reference (or our package) cannot even be imported
+if import_failures:
+    print(f"FAIL: {len(import_failures)} namespace import failure(s): "
+          + ", ".join(import_failures))
+    sys.exit(1)
+if missing_classes or missing_methods or missing_params:
+    sys.exit(2)
