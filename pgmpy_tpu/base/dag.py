@@ -18,6 +18,36 @@ from pgmpy_tpu.independencies import Independencies
 
 
 class DAG(GraphRolesMixin, nx.DiGraph):
+    """Directed acyclic graph with causal-inference machinery.
+
+    Parameters
+    ----------
+    ebunch : iterable of (u, v) edges, optional
+    latents : iterable, optional
+        Nodes to mark as latent.
+    lavaan_str / dagitty_str : str, optional
+        Build the graph from a lavaan or dagitty model string instead.
+    roles : dict, optional
+        ``{role: variables}`` annotations (exposure/outcome/...).
+
+    Examples
+    --------
+    >>> from pgmpy_tpu.base import DAG
+    >>> g = DAG([("a", "b"), ("b", "c"), ("d", "c")])
+    >>> g.is_dconnected("a", "c")
+    True
+    >>> g.is_dconnected("a", "d")  # blocked through collider c
+    False
+    >>> g.is_dconnected("a", "d", observed=["c"])  # ... until c observed
+    True
+    >>> sorted(g.get_markov_blanket("b"))
+    ['a', 'c', 'd']
+    >>> sorted(g.do("b").edges())  # sever incoming edges of b
+    [('b', 'c'), ('d', 'c')]
+    >>> g.get_parents("c")
+    ['b', 'd']
+    """
+
     def __init__(self, ebunch=None, latents=[], lavaan_str=None, dagitty_str=None, roles=None):
         if lavaan_str is not None or dagitty_str is not None:
             from pgmpy_tpu.utils.parser import parse_dagitty, parse_lavaan

@@ -159,6 +159,29 @@ class _CodedData:
                     raise ValueError(
                         f"Data contains unexpected states for variable: {var}."
                     )
+            elif isinstance(col.dtype, pd.CategoricalDtype):
+                # fast path for categorical input (what simulate() returns):
+                # reuse the existing codes and remap through a small
+                # permutation instead of re-factorizing 100k+ rows — the
+                # hash-based pd.Categorical() below was the dominant cost
+                # of MLE fits on large frames.  Semantics identical to the
+                # generic path: state names = OBSERVED values, sorted.
+                cats = list(col.cat.categories)
+                raw = np.asarray(col.cat.codes, dtype=np.int32)  # -1 = NaN
+                seen = np.bincount(raw[raw >= 0], minlength=len(cats)) > 0
+                observed = [c for c, s in zip(cats, seen) if s]
+                try:
+                    names = sorted(observed)
+                except TypeError:
+                    names = sorted(observed, key=str)
+                pos = {c: i for i, c in enumerate(names)}
+                remap = np.full(len(cats) + 1, -1, dtype=np.int32)
+                for i, c in enumerate(cats):
+                    if seen[i]:
+                        remap[i] = pos[c]
+                self.state_names[var] = names
+                codes[:, j] = remap[raw]  # raw -1 hits the trailing -1
+                continue
             else:
                 names = col.dropna().unique().tolist()
                 try:

@@ -12,6 +12,27 @@ from pgmpy_tpu.factors.cpd import TabularCPD
 
 
 class BayesianEstimator(ParameterEstimator):
+    """CPD estimation with Dirichlet priors (K2 / BDeu / dirichlet),
+    computed from the same batched device count kernel as MLE.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import pandas as pd
+    >>> from pgmpy_tpu.estimators import BayesianEstimator
+    >>> from pgmpy_tpu.models import DiscreteBayesianNetwork
+    >>> df = pd.DataFrame({"a": [0, 0, 1, 1], "b": [0, 1, 1, 1]})
+    >>> model = DiscreteBayesianNetwork([("a", "b")])
+    >>> est = BayesianEstimator(model, df)
+    >>> cpd_a = est.estimate_cpd("a", prior_type="K2")  # +1 pseudo-counts
+    >>> np.asarray(cpd_a.get_values(), dtype=float).round(2).tolist()
+    [[0.5], [0.5]]
+    >>> cpd_b = est.estimate_cpd("b", prior_type="BDeu",
+    ...                          equivalent_sample_size=4)
+    >>> np.asarray(cpd_b.get_values(), dtype=float).round(2).tolist()
+    [[0.5, 0.25], [0.5, 0.75]]
+    """
+
     def __init__(self, model, data, **kwargs):
         from pgmpy_tpu.models.discrete_bn import DiscreteBayesianNetwork
 

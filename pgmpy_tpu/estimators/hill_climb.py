@@ -16,6 +16,26 @@ from pgmpy_tpu.estimators.scores import get_scoring_method
 
 
 class HillClimbSearch(StructureEstimator):
+    """Greedy structure search (add/remove/flip with a tabu list); every
+    iteration's candidate scores are primed in ONE batched device
+    dispatch via ``ScoreCache.prime``.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import pandas as pd
+    >>> from pgmpy_tpu.estimators import HillClimbSearch
+    >>> rng = np.random.default_rng(0)
+    >>> a = rng.integers(0, 2, 500)
+    >>> b = np.where(rng.random(500) < 0.9, a, 1 - a)  # b copies a
+    >>> c = rng.integers(0, 2, 500)                    # independent
+    >>> df = pd.DataFrame({"a": a, "b": b, "c": c})
+    >>> dag = HillClimbSearch(df).estimate(scoring_method="bic-d",
+    ...                                    show_progress=False)
+    >>> sorted(map(sorted, dag.edges()))
+    [['a', 'b']]
+    """
+
     def __init__(self, data, use_cache=True, **kwargs):
         self.use_cache = use_cache
         super().__init__(data, **kwargs)

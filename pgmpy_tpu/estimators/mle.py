@@ -12,6 +12,26 @@ from pgmpy_tpu.estimators.base import ParameterEstimator
 
 
 class MaximumLikelihoodEstimator(ParameterEstimator):
+    """MLE of all CPDs: one batched device count kernel for the whole
+    network (the reference fits per-node in a joblib pool,
+    ``MLE.py:86-137``).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import pandas as pd
+    >>> from pgmpy_tpu.estimators import MaximumLikelihoodEstimator
+    >>> from pgmpy_tpu.models import DiscreteBayesianNetwork
+    >>> df = pd.DataFrame({"a": [0, 0, 1, 1], "b": [0, 1, 1, 1]})
+    >>> model = DiscreteBayesianNetwork([("a", "b")])
+    >>> cpds = MaximumLikelihoodEstimator(model, df).get_parameters()
+    >>> sorted(c.variable for c in cpds)
+    ['a', 'b']
+    >>> cpd_b = next(c for c in cpds if c.variable == "b")
+    >>> np.asarray(cpd_b.get_values(), dtype=float).round(2).tolist()
+    [[0.5, 0.0], [0.5, 1.0]]
+    """
+
     def __init__(self, model, data, **kwargs):
         from pgmpy_tpu.models.discrete_bn import DiscreteBayesianNetwork
         from pgmpy_tpu.models.junction_tree import JunctionTree
@@ -38,16 +58,20 @@ class MaximumLikelihoodEstimator(ParameterEstimator):
             counts = counts.astype(np.float64)
             zero_cols = counts.sum(axis=0) == 0
             counts[:, zero_cols] = 1.0
-            cpd = TabularCPD(
-                node,
-                len(self.state_names[node]),
-                counts,
-                evidence=parents if parents else None,
-                evidence_card=[len(self.state_names[p]) for p in parents] or None,
-                state_names={v: self.state_names[v] for v in [node] + parents},
+            # normalize in host numpy (f64) BEFORE constructing the CPD: a
+            # device-side cpd.normalize() per node is one tunnel dispatch
+            # each — 37 extra round-trips per ALARM fit
+            counts = counts / counts.sum(axis=0, keepdims=True)
+            cpds.append(
+                TabularCPD(
+                    node,
+                    len(self.state_names[node]),
+                    counts,
+                    evidence=parents if parents else None,
+                    evidence_card=[len(self.state_names[p]) for p in parents] or None,
+                    state_names={v: self.state_names[v] for v in [node] + parents},
+                )
             )
-            cpd.normalize()
-            cpds.append(cpd)
         return cpds
 
     def estimate_cpd(self, node, weighted=False):

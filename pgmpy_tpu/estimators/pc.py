@@ -11,6 +11,23 @@ from pgmpy_tpu.estimators.constraint import BaseConstraintEstimator
 
 
 class PC(BaseConstraintEstimator):
+    """Constraint-based causal discovery (skeleton -> colliders -> Meek
+    rules); each conditioning-set level runs its CI tests as one batched
+    device kernel.
+
+    Examples
+    --------
+    >>> from pgmpy_tpu.estimators import PC
+    >>> from pgmpy_tpu.independencies import Independencies
+    >>> ind = Independencies(["B", "C"], ["A", ["B", "C"], "D"])
+    >>> ind = ind.closure()
+    >>> dag = PC(independencies=ind).estimate(
+    ...     ci_test="independence_match", variables=list("ABCD"),
+    ...     show_progress=False)
+    >>> sorted(dag.edges())
+    [('B', 'D'), ('C', 'D'), ('D', 'A')]
+    """
+
     def __init__(self, data=None, independencies=None, **kwargs):
         super().__init__(data=data, independencies=independencies, **kwargs)
 

@@ -4,6 +4,25 @@ variants).
 Parity: ``/root/reference/pgmpy/estimators/StructureScore.py:15-1737``.
 Local scores are lgamma/log reductions over device-computed count tables
 (discrete) or lstsq residuals (Gaussian).
+
+Examples
+--------
+>>> import numpy as np
+>>> import pandas as pd
+>>> from pgmpy_tpu.estimators import BIC, K2
+>>> from pgmpy_tpu.models import DiscreteBayesianNetwork
+>>> rng = np.random.default_rng(0)
+>>> a = rng.integers(0, 2, 200)
+>>> b = np.where(rng.random(200) < 0.9, a, 1 - a)
+>>> df = pd.DataFrame({"a": a, "b": b})
+>>> dependent = DiscreteBayesianNetwork([("a", "b")])
+>>> indep = DiscreteBayesianNetwork()
+>>> indep.add_nodes_from(["a", "b"])
+>>> bic = BIC(df)
+>>> bool(bic.score(dependent) > bic.score(indep))  # dependence wins
+True
+>>> round(float(K2(df).local_score("a", [])), 1)
+-139.9
 """
 
 import numpy as np

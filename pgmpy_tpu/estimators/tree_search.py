@@ -29,6 +29,25 @@ def _mutual_info(counts):
 
 
 class TreeSearch(StructureEstimator):
+    """Chow-Liu / TAN tree learning; the pairwise mutual-information
+    matrix is computed from one batched device count dispatch.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import pandas as pd
+    >>> from pgmpy_tpu.estimators import TreeSearch
+    >>> rng = np.random.default_rng(1)
+    >>> a = rng.integers(0, 2, 500)
+    >>> b = np.where(rng.random(500) < 0.9, a, 1 - a)
+    >>> c = np.where(rng.random(500) < 0.9, b, 1 - b)  # chain a-b-c
+    >>> df = pd.DataFrame({"a": a, "b": b, "c": c})
+    >>> dag = TreeSearch(df, root_node="a").estimate(
+    ...     estimator_type="chow-liu", show_progress=False)
+    >>> sorted(dag.edges())
+    [('a', 'b'), ('b', 'c')]
+    """
+
     def __init__(self, data, root_node=None, n_jobs=-1, **kwargs):
         super().__init__(data, **kwargs)
         if root_node is not None and root_node not in self.variables:

@@ -8,6 +8,25 @@ matches the reference: factor variables are ``[variable] + evidence`` and the
 with the last evidence variable cycling fastest.
 """
 
+__doc__ += """
+
+Examples
+--------
+>>> import numpy as np
+>>> from pgmpy_tpu.factors import TabularCPD
+>>> cpd = TabularCPD("grade", 2,
+...                  [[0.9, 0.6, 0.3], [0.1, 0.4, 0.7]],
+...                  evidence=["intel"], evidence_card=[3])
+>>> cpd.variable, cpd.variables
+('grade', ['grade', 'intel'])
+>>> np.asarray(cpd.get_values(), dtype=float).round(1).tolist()
+[[0.9, 0.6, 0.3], [0.1, 0.4, 0.7]]
+>>> phi = cpd.to_factor()
+>>> np.asarray(phi.marginalize(["grade"], inplace=False).values,
+...            dtype=float).round(1).tolist()
+[1.0, 1.0, 1.0]
+"""
+
 import numbers
 from itertools import chain
 

@@ -44,6 +44,28 @@ class DiscreteFactor(StateNameMixin):
         or an array already shaped to ``cardinality``.
     state_names : dict, optional
         Mapping variable -> list of state names.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pgmpy_tpu.factors import DiscreteFactor
+    >>> phi = DiscreteFactor(["a", "b"], [2, 3],
+    ...                      [1.0, 1.0, 1.0, 1.0, 1.0, 4.0])
+    >>> phi.get_cardinality(["a", "b"])
+    {'a': 2, 'b': 3}
+    >>> marg = phi.marginalize(["b"], inplace=False)
+    >>> (marg.variables, np.asarray(marg.values).round(1).tolist())
+    (['a'], [3.0, 6.0])
+    >>> red = phi.reduce([("a", 1)], inplace=False)
+    >>> np.asarray(red.values).round(1).tolist()
+    [1.0, 1.0, 4.0]
+    >>> psi = DiscreteFactor(["b"], [3], [2.0, 1.0, 1.0])
+    >>> prod = phi * psi  # axis order: left operand's, new vars appended
+    >>> (prod.variables, np.asarray(prod.values).round(1).tolist())
+    (['a', 'b'], [[2.0, 1.0, 1.0], [2.0, 1.0, 4.0]])
+    >>> np.asarray(
+    ...     prod.normalize(inplace=False).values).sum().round(2).item()
+    1.0
     """
 
     def __init__(self, variables, cardinality, values, state_names={}):

@@ -4,6 +4,20 @@ Parity with ``/root/reference/pgmpy/factors/base.py:20-163``; the
 multi-factor ``factor_sum_product`` lowers to ONE fused einsum over all
 operand value tensors (the reference's opt_einsum path), which is the hot
 kernel of greedy variable elimination.
+
+Examples
+--------
+>>> import numpy as np
+>>> from pgmpy_tpu.factors import DiscreteFactor
+>>> from pgmpy_tpu.factors import factor_product, factor_sum_product
+>>> f1 = DiscreteFactor(["a", "b"], [2, 2], [0.5, 0.5, 0.2, 0.8])
+>>> f2 = DiscreteFactor(["b", "c"], [2, 2], [0.4, 0.6, 0.9, 0.1])
+>>> joint = factor_product(f1, f2)
+>>> joint.variables
+['a', 'b', 'c']
+>>> marg = factor_sum_product(["c"], [f1, f2])  # one fused einsum
+>>> np.asarray(marg.values, dtype=float).round(3).tolist()
+[1.45, 0.55]
 """
 
 from functools import reduce

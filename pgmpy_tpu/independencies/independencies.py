@@ -67,7 +67,19 @@ class IndependenceAssertion:
 
 
 class Independencies:
-    """A set of CI assertions with semi-graphoid reasoning."""
+    """A set of CI assertions with semi-graphoid reasoning.
+
+    Examples
+    --------
+    >>> from pgmpy_tpu.independencies import Independencies
+    >>> ind = Independencies(["X", ["Y", "Z"]])
+    >>> print(ind)
+    (X ⟂ Y, Z)
+    >>> ind.entails(Independencies(["X", "Y"]))  # decomposition axiom
+    True
+    >>> len(ind.closure().get_assertions())
+    5
+    """
 
     def __init__(self, *assertions):
         self.independencies = []

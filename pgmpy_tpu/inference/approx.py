@@ -14,6 +14,27 @@ from pgmpy_tpu.factors.discrete import DiscreteFactor
 
 
 class ApproxInference:
+    """Sampling-based approximate posteriors: simulate (on device), then
+    histogram the draws.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pgmpy_tpu.factors import TabularCPD
+    >>> from pgmpy_tpu.inference import ApproxInference
+    >>> from pgmpy_tpu.models import DiscreteBayesianNetwork
+    >>> model = DiscreteBayesianNetwork([("rain", "wet")])
+    >>> model.add_cpds(
+    ...     TabularCPD("rain", 2, [[0.8], [0.2]]),
+    ...     TabularCPD("wet", 2, [[0.9, 0.2], [0.1, 0.8]],
+    ...                evidence=["rain"], evidence_card=[2]))
+    >>> approx = ApproxInference(model)
+    >>> phi = approx.query(["wet"], n_samples=50_000, seed=0,
+    ...                    show_progress=False)
+    >>> np.asarray(phi.values, dtype=float).round(1).tolist()  # ~[0.76, 0.24]
+    [0.8, 0.2]
+    """
+
     def __init__(self, model):
         from pgmpy_tpu.models.discrete_bn import DiscreteBayesianNetwork
 

@@ -71,6 +71,97 @@ def _expand(arr, perm, shape_spec):
     return arr
 
 
+def _merge_cliques(cliques, edges, cards, max_table=1 << 14, budget_ratio=1.5):
+    """Greedy clique agglomeration on the junction tree.
+
+    Contracting a tree edge (c1, c2) into one clique over c1 ∪ c2
+    preserves the junction-tree property (running intersection holds for
+    the union node), removes two messages from the schedule, and costs
+    ``|T(c1∪c2)| - |T(c1)| - |T(c2)|`` extra table elements.  On
+    MUNIN-class trees ~60% of messages touch only tiny (≤4k-element)
+    cliques whose per-message cost is pure XLA op overhead, not bytes —
+    merging them trades a bounded byte increase for a large op-count
+    decrease, which is the right trade on an overhead-dominated program.
+
+    Greedy order: smallest union table first; stop growing a union past
+    ``max_table`` elements and stop overall once total table elements
+    exceed ``budget_ratio`` × the original.  Returns (cliques, edges)
+    with the same tuple-of-sorted-vars node representation.
+    """
+    import heapq
+
+    scopes = [frozenset(c) for c in cliques]
+    sizes = [int(np.prod([cards[v] for v in c])) for c in cliques]
+    total0 = sum(sizes)
+    budget = int(budget_ratio * total0)
+    parent = list(range(len(cliques)))  # union-find
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    adj = {i: set() for i in range(len(cliques))}
+    index = {c: i for i, c in enumerate(cliques)}
+    for u, v in edges:
+        adj[index[u]].add(index[v])
+        adj[index[v]].add(index[u])
+
+    def union_size(a, b):
+        return int(np.prod([cards[v] for v in scopes[a] | scopes[b]]))
+
+    heap = []
+    for u, v in edges:
+        a, b = index[u], index[v]
+        heap.append((union_size(a, b), a, b))
+    heapq.heapify(heap)
+
+    total = total0
+    while heap:
+        usize, a, b = heapq.heappop(heap)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        # stale entry: re-evaluate against current scopes
+        cur = union_size(ra, rb)
+        if cur != usize or not (adj[ra] & {rb}):
+            if adj.get(ra) is not None and rb in adj[ra]:
+                heapq.heappush(heap, (cur, ra, rb))
+            continue
+        if cur > max_table:
+            continue
+        grown = total + cur - sizes[ra] - sizes[rb]
+        if grown > budget:
+            continue
+        # contract rb into ra
+        parent[rb] = ra
+        scopes[ra] = scopes[ra] | scopes[rb]
+        sizes[ra] = cur
+        total = grown
+        adj[ra] = (adj[ra] | adj[rb]) - {ra, rb}
+        for n in adj[rb]:
+            adj[n].discard(rb)
+            if n != ra:
+                adj[n].add(ra)
+        adj[rb] = set()
+        for n in adj[ra]:
+            heapq.heappush(heap, (union_size(ra, find(n)), ra, find(n)))
+
+    roots = sorted({find(i) for i in range(len(cliques))})
+    new_cliques = [tuple(sorted(scopes[r], key=str)) for r in roots]
+    root_pos = {r: i for i, r in enumerate(roots)}
+    new_edges = set()
+    for u, v in edges:
+        ra, rb = find(index[u]), find(index[v])
+        if ra != rb:
+            key = (min(root_pos[ra], root_pos[rb]), max(root_pos[ra], root_pos[rb]))
+            new_edges.add(key)
+    return new_cliques, [
+        (new_cliques[i], new_cliques[j]) for i, j in sorted(new_edges)
+    ]
+
+
 class JunctionTreeProgram:
     """Host compile artifact: clique structure, factor assignment, message
     schedule — plus the jitted device executor."""
@@ -164,12 +255,29 @@ class JunctionTreeProgram:
             self.sepset_shapes[edge_id] = tuple(int(cards[v]) for v in sepset)
         self._fns = {}
 
+    # Clique agglomeration (``_merge_cliques``) kicks in automatically on
+    # trees this large: below it the program is op-count-light and merging
+    # only perturbs small-model clique structure for no gain.  The cap was
+    # tuned on MUNIN (v5e, r5): caps 2^16/2^18/2^20 gave steady medians
+    # 7.9/5.1/4.2 ms vs 11.2 ms unmerged; larger byte budgets
+    # (budget_ratio 2.0/3.0 at this cap) gave 4.0/5.3 ms — so 2^20 at the
+    # default 1.5 budget is the knee, landing on the measured HBM roofline
+    # (~3.8 ms for the 3.15 GB the merged schedule moves).
+    MERGE_MIN_CLIQUES = 501
+    MERGE_MAX_TABLE = 1 << 20
+
     # -- factory ------------------------------------------------------- #
     @classmethod
-    def from_factors(cls, factor_scopes, cards, heuristic="weight", normalize_messages=True):
+    def from_factors(cls, factor_scopes, cards, heuristic="weight",
+                     normalize_messages=True, merge="auto"):
         """Compile clique structure from factor scopes: moral graph ->
         greedy triangulation -> max cliques -> MST on sepset weights ->
-        factor-to-clique assignment."""
+        clique agglomeration (big trees) -> factor-to-clique assignment.
+
+        ``merge``: "auto" agglomerates small adjacent cliques only on
+        MUNIN-class trees (>= MERGE_MIN_CLIQUES cliques), where XLA
+        per-op overhead on thousands of tiny messages dominates the
+        calibration wall time; True/False force it."""
         graph = nx.Graph()
         for scope in factor_scopes:
             graph.add_nodes_from(scope)
@@ -192,6 +300,11 @@ class JunctionTreeProgram:
         edges = [
             (u, v) for u, v, _ in nx.minimum_spanning_edges(cg, data=True)
         ]
+
+        if merge is True or (merge == "auto" and len(cliques) >= cls.MERGE_MIN_CLIQUES):
+            cliques, edges = _merge_cliques(
+                cliques, edges, cards, max_table=cls.MERGE_MAX_TABLE
+            )
 
         # assign each factor to the first clique containing its scope
         var_to_cliques = {}
@@ -224,14 +337,19 @@ class JunctionTreeProgram:
     # at the price of a few extra dispatches per calibrate.
     CHUNK = 340
 
-    # Message count above which a background thread ALSO compiles the
-    # whole schedule as ONE program and hot-swaps it in: profiling on the
-    # v5e (r4) put MUNIN's 6-dispatch chunked steady state at ~20-24 ms
-    # but the monolithic program at 13.6-15.1 ms — XLA fuses across the
-    # old segment boundaries and the per-dispatch overheads vanish.  The
-    # monolithic compile costs ~24 s, so it must not block first use;
-    # the swap is an atomic dict write picked up by the next calibrate.
-    UPGRADE_THRESHOLD = 1000
+    # Whenever the schedule is too long for one up-front fused compile
+    # (> CHUNK messages -> the executor starts with the chunked multi-
+    # dispatch pipeline), a background thread ALSO compiles the whole
+    # schedule as ONE program and hot-swaps it in: profiling on the v5e
+    # put MUNIN's chunked steady state at ~20-24 ms (r4, unmerged; ~11 ms
+    # r5 merged) but the monolithic program at 13.6-15.1 ms (r4) / 4.2 ms
+    # (r5 merged) — XLA fuses across the old segment boundaries and the
+    # per-dispatch overheads vanish.  The monolithic compile costs ~30 s,
+    # so it must not block first use; the swap is an atomic dict write
+    # picked up by the next calibrate.  (r4 used a 1000-message threshold;
+    # r5's clique merge dropped MUNIN to 658 messages, so the trigger is
+    # now simply "the first build wasn't already monolithic".)
+    UPGRADE_THRESHOLD = CHUNK + 1
 
     def executor(self, operation, one_shot=False):
         """``one_shot=True`` is for callers that calibrate ONCE per program
@@ -461,7 +579,10 @@ class _CompiledBPQuery:
         self.query_vars = list(variables)
         self.kept = [v for v in ev_vars if v in kept_evidence]
 
-        inner = BeliefPropagation(model)
+        # merge=False: the covering-subtree contraction below vmaps over
+        # evidence rows — smaller unmerged cliques mean fewer FLOPs/bytes
+        # per row, and the one-shot calibrate here runs exactly once
+        inner = BeliefPropagation(model, merge=False)
         inner._calibrate_junction_tree(operation="marginalize", one_shot=True)
         program = inner._program
         beliefs, mu = inner._raw_beliefs
@@ -615,11 +736,43 @@ class _CompiledBPQuery:
 
 
 class BeliefPropagation(Inference):
-    def __init__(self, model):
+    """Exact inference by junction-tree calibration, compiled to a static
+    two-pass message program (see module docstring).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pgmpy_tpu.factors import TabularCPD
+    >>> from pgmpy_tpu.inference import BeliefPropagation
+    >>> from pgmpy_tpu.models import DiscreteBayesianNetwork
+    >>> model = DiscreteBayesianNetwork([("rain", "wet"), ("rain", "dark")])
+    >>> model.add_cpds(
+    ...     TabularCPD("rain", 2, [[0.8], [0.2]]),
+    ...     TabularCPD("wet", 2, [[0.9, 0.2], [0.1, 0.8]],
+    ...                evidence=["rain"], evidence_card=[2]),
+    ...     TabularCPD("dark", 2, [[0.7, 0.4], [0.3, 0.6]],
+    ...                evidence=["rain"], evidence_card=[2]))
+    >>> bp = BeliefPropagation(model)
+    >>> bp.calibrate()
+    >>> sorted(len(c) for c in bp.get_cliques())
+    [2, 2]
+    >>> phi = bp.query(["dark"], evidence={"wet": 1})
+    >>> np.asarray(phi.values, dtype=float).round(3).tolist()
+    [0.5, 0.5]
+    """
+
+    def __init__(self, model, merge="auto"):
+        """``merge``: clique-agglomeration policy forwarded to
+        ``JunctionTreeProgram.from_factors``.  "auto" (default) merges on
+        MUNIN-class trees — the right call for repeated calibrations; the
+        per-signature query builds pass ``False`` because their one-shot
+        covering-subtree contraction is cheaper over the smaller unmerged
+        cliques."""
         super().__init__(model)
         self.clique_beliefs = {}
         self.sepset_beliefs = {}
         self._calibrated_operation = None
+        self._merge = merge
 
         if isinstance(model, JunctionTree):
             self.junction_tree = model.copy()
@@ -655,6 +808,7 @@ class BeliefPropagation(Inference):
                 # messages — in-flight normalization is numerically inert
                 # and only inflates the compiled program
                 normalize_messages=not isinstance(model, DiscreteBayesianNetwork),
+                merge=merge,
             )
             # materialize the clique-tree graph (without eager potentials)
             self.junction_tree = JunctionTree()

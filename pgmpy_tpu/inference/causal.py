@@ -22,6 +22,31 @@ def _powerset(iterable):
 
 
 class CausalInference:
+    """Causal identification + interventional queries on a causal graph.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pgmpy_tpu.factors import TabularCPD
+    >>> from pgmpy_tpu.inference import CausalInference
+    >>> from pgmpy_tpu.models import DiscreteBayesianNetwork
+    >>> # confounder Z -> X, Z -> Y; X -> Y
+    >>> model = DiscreteBayesianNetwork(
+    ...     [("Z", "X"), ("Z", "Y"), ("X", "Y")])
+    >>> model.add_cpds(
+    ...     TabularCPD("Z", 2, [[0.5], [0.5]]),
+    ...     TabularCPD("X", 2, [[0.9, 0.3], [0.1, 0.7]],
+    ...                evidence=["Z"], evidence_card=[2]),
+    ...     TabularCPD("Y", 2, [[0.8, 0.5, 0.6, 0.1], [0.2, 0.5, 0.4, 0.9]],
+    ...                evidence=["Z", "X"], evidence_card=[2, 2]))
+    >>> ci = CausalInference(model)
+    >>> sorted(ci.get_all_backdoor_adjustment_sets("X", "Y"))
+    [frozenset({'Z'})]
+    >>> phi = ci.query(["Y"], do={"X": 1}, show_progress=False)
+    >>> np.asarray(phi.values, dtype=float).round(3).tolist()
+    [0.3, 0.7]
+    """
+
     def __init__(self, model):
         from pgmpy_tpu.base.dag import DAG
         from pgmpy_tpu.models.sem import SEMGraph

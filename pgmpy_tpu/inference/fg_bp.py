@@ -167,6 +167,26 @@ class _FloodingProgram:
 
 
 class BeliefPropagationWithMessagePassing:
+    """Loopy (flooding) sum-product BP on a factor graph, one compiled
+    device program per graph (see module docstring).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pgmpy_tpu.factors import DiscreteFactor
+    >>> from pgmpy_tpu.inference import BeliefPropagationWithMessagePassing
+    >>> from pgmpy_tpu.models import FactorGraph
+    >>> fg = FactorGraph()
+    >>> fg.add_nodes_from(["a", "b"])
+    >>> f = DiscreteFactor(["a", "b"], [2, 2], [2.0, 1.0, 1.0, 3.0])
+    >>> fg.add_factors(f)
+    >>> fg.add_edges_from([("a", f), ("b", f)])
+    >>> bp = BeliefPropagationWithMessagePassing(fg)
+    >>> res = bp.query(["b"], evidence={"a": 0})
+    >>> np.asarray(res["b"].values, dtype=float).round(3).tolist()
+    [0.667, 0.333]
+    """
+
     def __init__(self, model, check_model=True):
         if not isinstance(model, FactorGraph):
             raise TypeError(f"model must be a FactorGraph. Got: {type(model)}")

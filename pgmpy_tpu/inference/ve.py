@@ -257,6 +257,33 @@ class _CompiledQuery:
 
 
 class VariableElimination(Inference):
+    """Exact posterior inference by (compiled) variable elimination.
+
+    Each distinct (query variables, evidence variables) signature compiles
+    ONCE into a fused einsum contraction; repeat queries are a single
+    device dispatch with the evidence entering as integer codes.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pgmpy_tpu.factors import TabularCPD
+    >>> from pgmpy_tpu.inference import VariableElimination
+    >>> from pgmpy_tpu.models import DiscreteBayesianNetwork
+    >>> model = DiscreteBayesianNetwork([("rain", "wet")])
+    >>> model.add_cpds(
+    ...     TabularCPD("rain", 2, [[0.8], [0.2]]),
+    ...     TabularCPD("wet", 2, [[0.9, 0.2], [0.1, 0.8]],
+    ...                evidence=["rain"], evidence_card=[2]))
+    >>> infer = VariableElimination(model)
+    >>> phi = infer.query(["rain"], evidence={"wet": 1},
+    ...                   show_progress=False)
+    >>> np.asarray(phi.values, dtype=float).round(3).tolist()
+    [0.333, 0.667]
+    >>> infer.map_query(["rain"], evidence={"wet": 0},
+    ...                 show_progress=False)
+    {'rain': 0}
+    """
+
     # ------------------------------------------------------------------ #
     # elimination-order resolution
     # ------------------------------------------------------------------ #

@@ -1,6 +1,27 @@
 """Model-quality metrics.
 
 Parity: ``/root/reference/pgmpy/metrics/metrics.py:17-536``.
+
+Examples
+--------
+>>> from pgmpy_tpu.base import DAG
+>>> from pgmpy_tpu.metrics import SHD
+>>> SHD(DAG([("a", "b"), ("b", "c")]), DAG([("a", "b"), ("c", "b")]))
+1
+>>> import numpy as np
+>>> import pandas as pd
+>>> from pgmpy_tpu.metrics import structure_score
+>>> from pgmpy_tpu.models import DiscreteBayesianNetwork
+>>> rng = np.random.default_rng(0)
+>>> a = rng.integers(0, 2, 200)
+>>> df = pd.DataFrame({"a": a,
+...                    "b": np.where(rng.random(200) < 0.9, a, 1 - a)})
+>>> empty = DiscreteBayesianNetwork()
+>>> empty.add_nodes_from(["a", "b"])
+>>> bool(structure_score(DiscreteBayesianNetwork([("a", "b")]), df,
+...                      scoring_method="bic-d")
+...      > structure_score(empty, df, scoring_method="bic-d"))
+True
 """
 
 import itertools

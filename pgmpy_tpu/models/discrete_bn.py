@@ -21,6 +21,37 @@ from pgmpy_tpu.factors.discrete import DiscreteFactor
 
 
 class DiscreteBayesianNetwork(DAG):
+    """A Bayesian network: DAG + one TabularCPD per node.
+
+    Parameters
+    ----------
+    ebunch : iterable of (u, v) edges, optional
+    latents : iterable, optional
+    lavaan_str / dagitty_str : str, optional
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pgmpy_tpu.factors import TabularCPD
+    >>> from pgmpy_tpu.models import DiscreteBayesianNetwork
+    >>> model = DiscreteBayesianNetwork([("rain", "wet"), ("sprinkler", "wet")])
+    >>> model.add_cpds(
+    ...     TabularCPD("rain", 2, [[0.8], [0.2]]),
+    ...     TabularCPD("sprinkler", 2, [[0.6], [0.4]]),
+    ...     TabularCPD("wet", 2,
+    ...                [[1.0, 0.1, 0.2, 0.01], [0.0, 0.9, 0.8, 0.99]],
+    ...                evidence=["rain", "sprinkler"], evidence_card=[2, 2]))
+    >>> model.check_model()
+    True
+    >>> df = model.simulate(n_samples=100, seed=0, show_progress=False)
+    >>> sorted(df.columns), len(df)
+    (['rain', 'sprinkler', 'wet'], 100)
+    >>> fit = DiscreteBayesianNetwork(model.edges())
+    >>> _ = fit.fit(df)  # MLE by default; returns the model
+    >>> fit.get_cpds("rain").get_values().shape
+    (2, 1)
+    """
+
     def __init__(self, ebunch=None, latents=[], lavaan_str=None, dagitty_str=None):
         super().__init__(ebunch, latents, lavaan_str, dagitty_str)
         self.cpds = []

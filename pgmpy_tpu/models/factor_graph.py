@@ -15,6 +15,25 @@ from pgmpy_tpu.factors.factor_ops import factor_product
 
 
 class FactorGraph(UndirectedGraph):
+    """Bipartite variable/factor graph (factor objects ARE nodes).
+
+    Examples
+    --------
+    >>> from pgmpy_tpu.factors import DiscreteFactor
+    >>> from pgmpy_tpu.models import FactorGraph
+    >>> fg = FactorGraph()
+    >>> fg.add_nodes_from(["a", "b"])
+    >>> f = DiscreteFactor(["a", "b"], [2, 2], [1.0, 2.0, 3.0, 4.0])
+    >>> fg.add_factors(f)
+    >>> fg.add_edges_from([("a", f), ("b", f)])
+    >>> fg.check_model()
+    True
+    >>> fg.get_variable_nodes()
+    ['a', 'b']
+    >>> round(float(fg.get_partition_function()), 1)
+    10.0
+    """
+
     def __init__(self, ebunch=None):
         super().__init__()
         if ebunch:

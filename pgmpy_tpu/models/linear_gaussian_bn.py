@@ -17,6 +17,25 @@ from pgmpy_tpu.factors.continuous import LinearGaussianCPD
 
 
 class LinearGaussianBayesianNetwork(DAG):
+    """Gaussian BN: each node = beta . [1, parents] + N(0, std^2); the
+    joint is multivariate normal in closed form (jnp linalg).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pgmpy_tpu.factors.continuous import LinearGaussianCPD
+    >>> from pgmpy_tpu.models import LinearGaussianBayesianNetwork
+    >>> model = LinearGaussianBayesianNetwork([("x", "y")])
+    >>> model.add_cpds(
+    ...     LinearGaussianCPD("x", [1.0], 2.0),
+    ...     LinearGaussianCPD("y", [0.5, 3.0], 1.0, evidence=["x"]))
+    >>> mean, cov = model.to_joint_gaussian()
+    >>> np.asarray(mean, dtype=float).round(2).tolist()
+    [1.0, 3.5]
+    >>> np.asarray(cov, dtype=float).round(2).tolist()
+    [[4.0, 12.0], [12.0, 37.0]]
+    """
+
     def __init__(self, ebunch=None, latents=[], lavaan_str=None, dagitty_str=None):
         super().__init__(ebunch, latents, lavaan_str, dagitty_str)
         self.cpds = []

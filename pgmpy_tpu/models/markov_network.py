@@ -91,6 +91,26 @@ def greedy_elimination_order(adj, weights, heuristic="weight", penalty=None):
 
 
 class DiscreteMarkovNetwork(UndirectedGraph):
+    """Undirected graphical model: graph + factors; triangulation (H1-H6)
+    and junction-tree construction are host-side compile passes.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pgmpy_tpu.factors import DiscreteFactor
+    >>> from pgmpy_tpu.models import DiscreteMarkovNetwork
+    >>> mn = DiscreteMarkovNetwork([("a", "b"), ("b", "c")])
+    >>> mn.add_factors(
+    ...     DiscreteFactor(["a", "b"], [2, 2], [1.0, 2.0, 3.0, 4.0]),
+    ...     DiscreteFactor(["b", "c"], [2, 2], [5.0, 6.0, 7.0, 8.0]))
+    >>> mn.check_model()
+    True
+    >>> round(float(mn.get_partition_function()), 1)
+    134.0
+    >>> sorted(len(c) for c in mn.to_junction_tree().nodes())
+    [2, 2]
+    """
+
     def __init__(self, ebunch=None, latents=[]):
         super().__init__(ebunch, latents=latents)
         self.factors = []

@@ -1,3 +1,4 @@
+from pgmpy_tpu.parallel import distributed
 from pgmpy_tpu.parallel.mesh import (
     get_mesh,
     sharded_sample_marginals,
@@ -7,6 +8,7 @@ from pgmpy_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "distributed",
     "get_mesh",
     "sharded_sample_marginals",
     "sharded_gibbs_marginals",

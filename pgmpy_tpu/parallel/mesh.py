@@ -5,7 +5,9 @@ The reference has NO distributed layer (single-process joblib only,
 ``chains`` mesh over which sampling kernels run under ``shard_map``, with
 ``psum`` collectives reducing sufficient statistics (weighted one-hot
 moment sums) across devices.  Multi-host pods extend the same mesh over
-DCN via ``jax.distributed.initialize`` — the kernel code is unchanged.
+DCN — :mod:`pgmpy_tpu.parallel.distributed` owns the
+``jax.distributed.initialize`` wrapper and the pod-spanning mesh
+constructors; the kernel code here is unchanged under either mesh.
 """
 
 from functools import partial

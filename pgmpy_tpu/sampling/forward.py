@@ -11,6 +11,32 @@ from pgmpy_tpu.sampling.core import CompiledAncestralSampler
 
 
 class BayesianModelSampling:
+    """Forward / rejection / likelihood-weighted sampling on the compiled
+    ancestral sampler (all draws for all nodes happen in one jitted
+    program, vmapped over the sample axis).
+
+    Examples
+    --------
+    >>> from pgmpy_tpu.factors import TabularCPD
+    >>> from pgmpy_tpu.models import DiscreteBayesianNetwork
+    >>> from pgmpy_tpu.sampling import BayesianModelSampling
+    >>> model = DiscreteBayesianNetwork([("rain", "wet")])
+    >>> model.add_cpds(
+    ...     TabularCPD("rain", 2, [[0.8], [0.2]]),
+    ...     TabularCPD("wet", 2, [[0.9, 0.2], [0.1, 0.8]],
+    ...                evidence=["rain"], evidence_card=[2]))
+    >>> sampler = BayesianModelSampling(model)
+    >>> df = sampler.forward_sample(size=1000, seed=0, show_progress=False)
+    >>> sorted(df.columns), len(df)
+    (['rain', 'wet'], 1000)
+    >>> from pgmpy_tpu.factors.discrete import State
+    >>> lw = sampler.likelihood_weighted_sample(
+    ...     evidence=[State("wet", 1)], size=10, seed=0,
+    ...     show_progress=False)
+    >>> "_weight" in lw.columns
+    True
+    """
+
     def __init__(self, model):
         from pgmpy_tpu.models.discrete_bn import DiscreteBayesianNetwork
 

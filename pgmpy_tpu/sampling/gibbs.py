@@ -102,7 +102,26 @@ class GibbsSampling(MarkovChain):
     MarkovChain — sample() here is the compiled Markov-blanket kernel, but
     the chain surface (add_variable/add_transition_model/is_stationarity/
     prob_from_sample) is inherited), plus multi-chain throughput via
-    ``sample_chains``."""
+    ``sample_chains``.
+
+    Examples
+    --------
+    >>> from pgmpy_tpu.factors import TabularCPD
+    >>> from pgmpy_tpu.models import DiscreteBayesianNetwork
+    >>> from pgmpy_tpu.sampling import GibbsSampling
+    >>> model = DiscreteBayesianNetwork([("rain", "wet")])
+    >>> model.add_cpds(
+    ...     TabularCPD("rain", 2, [[0.8], [0.2]]),
+    ...     TabularCPD("wet", 2, [[0.9, 0.2], [0.1, 0.8]],
+    ...                evidence=["rain"], evidence_card=[2]))
+    >>> gibbs = GibbsSampling(model)
+    >>> df = gibbs.sample(size=5, seed=0)  # one chain, 5 sweeps
+    >>> sorted(df.columns), len(df)
+    (['rain', 'wet'], 5)
+    >>> chains = gibbs.sample_chains(n_chains=64, size=10, seed=0)
+    >>> chains.shape  # (sweeps, chains, variables)
+    (10, 64, 2)
+    """
 
     def __init__(self, model=None):
         self.state = None

@@ -3,6 +3,19 @@
 Parity: ``/root/reference/pgmpy/utils/utils.py:16-498``.  Example networks
 are the standard public bnlearn repository datasets (bundled as data
 fixtures in ``example_models/``) plus dagitty teaching DAGs.
+
+Examples
+--------
+>>> import pandas as pd
+>>> from pgmpy_tpu.utils import discretize, get_example_model
+>>> asia = get_example_model("asia")
+>>> len(asia.nodes()), len(asia.get_cpds())
+(8, 8)
+>>> df = pd.DataFrame({"x": [0.1, 0.4, 0.6, 0.9]})
+>>> binned = discretize(df, cardinality={"x": 2},
+...                     labels={"x": ["lo", "hi"]})
+>>> binned["x"].tolist()
+['lo', 'lo', 'hi', 'hi']
 """
 
 import json

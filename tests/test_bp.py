@@ -248,3 +248,92 @@ class TestBPQueryBatch:
         bp = BeliefPropagation(get_example_model("cancer"))
         with _pytest.raises(ValueError):
             bp.query_batch(["Smoker"], {})
+
+
+class TestCliqueMerge:
+    """Clique agglomeration (``bp._merge_cliques``): fewer messages, same
+    posteriors, junction-tree property preserved."""
+
+    def _programs(self, model):
+        from pgmpy_tpu.inference.bp import JunctionTreeProgram
+
+        factors = [c.to_factor() for c in model.get_cpds()]
+        cards = {
+            v: int(c)
+            for f in factors
+            for v, c in zip(f.variables, f.cardinality)
+        }
+        scopes = [list(f.variables) for f in factors]
+        p0 = JunctionTreeProgram.from_factors(
+            scopes, cards, normalize_messages=False, merge=False)
+        p1 = JunctionTreeProgram.from_factors(
+            scopes, cards, normalize_messages=False, merge=True)
+        return factors, p0, p1
+
+    def test_merged_calibration_matches_unmerged_on_alarm(self):
+        model = get_example_model("alarm")
+        factors, p0, p1 = self._programs(model)
+        assert len(p1.cliques) < len(p0.cliques)
+        assert len(p1.messages) < len(p0.messages)
+        arrays = [f.values for f in factors]
+        b0, _ = p0.executor("marginalize", one_shot=True)(arrays)
+        b1, _ = p1.executor("marginalize", one_shot=True)(arrays)
+
+        def marginal(program, beliefs, var):
+            ci = next(
+                i for i, c in enumerate(program.cliques) if var in c)
+            arr = np.asarray(beliefs[ci], dtype=np.float64)
+            axes = tuple(
+                k for k, v in enumerate(program.cliques[ci]) if v != var)
+            m = arr.sum(axis=axes)
+            return m / m.sum()
+
+        for var in model.nodes():
+            np.testing.assert_allclose(
+                marginal(p1, b1, var), marginal(p0, b0, var), atol=1e-5,
+                err_msg=var)
+
+    def test_merged_tree_keeps_junction_property(self):
+        import networkx as nx
+
+        model = get_example_model("alarm")
+        _, _, p1 = self._programs(model)
+        tree = nx.Graph()
+        tree.add_nodes_from(p1.cliques)
+        for edge_key in p1.edge_ids:
+            tree.add_edge(*tuple(edge_key))
+        assert nx.is_forest(tree)
+        variables = {v for c in p1.cliques for v in c}
+        for var in variables:
+            containing = [c for c in p1.cliques if var in c]
+            sub = tree.subgraph(containing)
+            assert nx.is_connected(sub), f"running intersection broken: {var}"
+
+    def test_merge_respects_table_cap_and_budget(self):
+        import numpy as np
+
+        from pgmpy_tpu.inference.bp import JunctionTreeProgram, _merge_cliques
+
+        model = get_example_model("alarm")
+        factors = [c.to_factor() for c in model.get_cpds()]
+        cards = {
+            v: int(c)
+            for f in factors
+            for v, c in zip(f.variables, f.cardinality)
+        }
+        scopes = [list(f.variables) for f in factors]
+        base = JunctionTreeProgram.from_factors(scopes, cards, merge=False)
+        base_elems = sum(int(np.prod(s)) for s in base.clique_shapes)
+        tree_edges = [tuple(edge_key) for edge_key in base.edge_ids]
+        cap, ratio = 256, 1.2
+        cliques, edges = _merge_cliques(
+            list(base.cliques), tree_edges, cards,
+            max_table=cap, budget_ratio=ratio)
+        sizes = [
+            int(np.prod([cards[v] for v in c])) for c in cliques
+        ]
+        grown = [
+            s for c, s in zip(cliques, sizes) if c not in set(base.cliques)
+        ]
+        assert all(s <= cap for s in grown), "merged table exceeds cap"
+        assert sum(sizes) <= ratio * base_elems + 1

@@ -358,3 +358,82 @@ class TestZooScaleSharding:
                 for i, v in enumerate(variables)]
         # pooled over 64 chains x 60 draws: every mean within 0.5 sd
         assert np.median(errs) < 0.2 and max(errs) < 0.6
+
+
+class TestDistributed:
+    """Multi-host entry point (parallel/distributed.py), single-process
+    degenerate mode.  SURVEY §2.8's last row: jax.distributed init wrapper
+    + process-spanning mesh constructors + per-host PRNG fold-in."""
+
+    def test_initialize_single_process_is_noop_and_idempotent(self):
+        from pgmpy_tpu.parallel import distributed as dist
+
+        pidx, pcount = dist.initialize()
+        assert (pidx, pcount) == (0, 1)
+        assert dist.is_initialized()
+        assert not dist._STATE["distributed"]  # jax.distributed untouched
+        assert dist.initialize() == (0, 1)  # idempotent
+        dist.shutdown()
+        assert not dist.is_initialized()
+        dist.initialize()
+
+    def test_initialize_requires_coordinator_for_multiprocess(self):
+        from pgmpy_tpu.parallel import distributed as dist
+
+        dist.shutdown()
+        with pytest.raises(ValueError, match="coordinator_address"):
+            dist.initialize(num_processes=4)
+        dist.initialize()
+
+    def test_global_mesh_spans_all_devices_host_major(self):
+        import jax
+
+        from pgmpy_tpu.parallel import distributed as dist
+
+        mesh = dist.global_mesh()
+        assert mesh.devices.size == len(jax.devices())
+        assert mesh.axis_names == ("chains",)
+        # host-major order: process indices must be non-decreasing along
+        # the axis (ICI segments contiguous, DCN boundaries between them)
+        procs = [d.process_index for d in mesh.devices.reshape(-1)]
+        assert procs == sorted(procs)
+
+    def test_host_chain_mesh_shape(self):
+        import jax
+
+        from pgmpy_tpu.parallel import distributed as dist
+
+        mesh = dist.host_chain_mesh()
+        n_procs = jax.process_count()
+        assert mesh.devices.shape == (
+            n_procs, len(jax.devices()) // n_procs)
+        assert mesh.axis_names == ("hosts", "chains")
+
+    def test_host_fold_key_distinct_streams(self):
+        import jax
+
+        from pgmpy_tpu.parallel import distributed as dist
+
+        k = jax.random.PRNGKey(7)
+        folded = [np.asarray(dist.host_fold_key(k, p)) for p in range(4)]
+        for i in range(4):
+            for j in range(i + 1, 4):
+                assert not np.array_equal(folded[i], folded[j])
+
+    def test_global_mesh_drives_sharded_kernels(self):
+        from pgmpy_tpu.parallel import distributed as dist
+        from pgmpy_tpu.parallel import sharded_query_batch
+
+        model = student_bn()
+        mesh = dist.global_mesh()
+        values, names = sharded_query_batch(
+            model, ["grade"], {"SAT": [i % 2 for i in range(17)]}, mesh=mesh
+        )
+        assert values.shape == (17, 3)
+        np.testing.assert_allclose(values.sum(axis=1), 1.0, atol=1e-5)
+        # device-count invariance vs the plain local mesh
+        ref, _ = sharded_query_batch(
+            model, ["grade"], {"SAT": [i % 2 for i in range(17)]},
+            mesh=get_mesh(n_devices=1),
+        )
+        np.testing.assert_allclose(values, ref, atol=1e-6)

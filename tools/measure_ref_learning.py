@@ -74,8 +74,10 @@ def phase_ref():
     from pgmpy.models import DiscreteBayesianNetwork
     from pgmpy.sampling import BayesianModelSampling
 
-    df = pd.read_csv(f"{OUT_DIR}/alarm2000.csv", dtype=str)
-    big = pd.read_csv(f"{OUT_DIR}/alarm100k.csv", dtype=str)
+    # modern pandas reads dtype=str as a StringDtype the reference's
+    # preprocess_data doesn't recognize; categorical is its native lane
+    df = pd.read_csv(f"{OUT_DIR}/alarm2000.csv", dtype=str).astype("category")
+    big = pd.read_csv(f"{OUT_DIR}/alarm100k.csv", dtype=str).astype("category")
     edges = json.load(open(f"{OUT_DIR}/alarm_edges.json"))
 
     results = {}
