@@ -55,8 +55,12 @@ class HillClimbSearch(StructureEstimator):
             for e in itertools.permutations(self.variables, 2)
             if e not in present
         ]
+        # one descendants map per sweep replaces a per-candidate
+        # nx.has_path: O(V) BFS traversals instead of O(V^2) path queries
+        # (profiled at >half the total HillClimb wall time on ALARM)
+        descendants = {n: nx.descendants(model, n) for n in model.nodes()}
         for X, Y in potential_new_edges:
-            if nx.has_path(model, Y, X):
+            if X in descendants[Y]:  # X->Y would close a cycle
                 continue
             operation = ("+", (X, Y))
             if (

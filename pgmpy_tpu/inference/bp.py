@@ -123,10 +123,11 @@ def _merge_cliques(cliques, edges, cards, max_table=1 << 14, budget_ratio=1.5):
         ra, rb = find(a), find(b)
         if ra == rb:
             continue
-        # stale entry: re-evaluate against current scopes
+        # stale entry (scopes grew since it was pushed): re-queue at the
+        # current union size and re-examine later
         cur = union_size(ra, rb)
-        if cur != usize or not (adj[ra] & {rb}):
-            if adj.get(ra) is not None and rb in adj[ra]:
+        if cur != usize:
+            if rb in adj[ra]:
                 heapq.heappush(heap, (cur, ra, rb))
             continue
         if cur > max_table:

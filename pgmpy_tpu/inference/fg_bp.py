@@ -35,13 +35,19 @@ class _FloodingProgram:
     states inert through every product and sum).
     """
 
-    def __init__(self, factor_scopes, factor_values, cardinality,
+    def __init__(self, factor_scopes, cardinality,
                  max_iter=100, tol=1e-8, dtype=None):
         from pgmpy_tpu.config import config
 
-        dtype = dtype or config.DTYPE
+        self._dtype = dtype or config.DTYPE
+        dtype = self._dtype
         self.max_iter = int(max_iter)
         self.tol = float(tol)
+        # the requested tol (reference default 1e-8) is unreachable in f32:
+        # the round-to-round delta plateaus at ~1 ulp of the message values
+        # (~6e-8 observed), so without a dtype floor every query would burn
+        # all max_iter rounds and warm starts would never exit early
+        self._tol_eff = max(self.tol, 4.0 * float(np.finfo(np.dtype(dtype)).eps))
 
         # edge enumeration: (factor, position-in-scope) in factor order
         self.edges = []  # (fi, var)
@@ -75,28 +81,34 @@ class _FloodingProgram:
             nbr[e, : len(others)] = others
         self._nbr = jnp.asarray(nbr)
 
-        # f2v update: bucket factors by arity; pad each table to (C,)*a.
-        # For arity-a factors the outgoing message toward scope position k
-        # is one batched einsum over the group.
-        groups = {}  # arity -> list of factor indices
+        # f2v update: bucket factors by their power-of-two padded SHAPE
+        # (not just arity): a factor's table pads each axis to the next
+        # pow2 of that variable's cardinality, so memory stays within 2^a
+        # of the true table size instead of blowing up to
+        # (global max card)^arity on mixed-cardinality graphs.  For each
+        # group the outgoing message toward scope position k is one
+        # batched einsum.
+        groups = {}  # padded shape tuple -> list of factor indices
+        self._scope_cards = [
+            tuple(int(cardinality[v]) for v in scope) for scope in factor_scopes
+        ]
         for fi, scope in enumerate(factor_scopes):
-            groups.setdefault(len(scope), []).append(fi)
+            key = tuple(
+                1 << max(0, (c - 1).bit_length()) for c in self._scope_cards[fi]
+            )
+            groups.setdefault(key, []).append(fi)
         self._groups = []
         out_edge_order = []  # edge id produced by each output row, in order
-        for arity in sorted(groups):
-            fis = groups[arity]
-            tables = np.zeros((len(fis),) + (C,) * arity, dtype=np.float32)
+        for shape in sorted(groups):
+            fis = groups[shape]
+            arity = len(shape)
             eidx = np.zeros((len(fis), arity), dtype=np.int32)
             for row, fi in enumerate(fis):
-                vals = np.asarray(factor_values[fi], dtype=np.float32)
-                tables[row][tuple(slice(0, s) for s in vals.shape)] = vals
                 for k, var in enumerate(factor_scopes[fi]):
                     eidx[row, k] = edge_id[(fi, var)]
             for k in range(arity):
                 out_edge_order.extend(int(x) for x in eidx[:, k])
-            self._groups.append(
-                (arity, jnp.asarray(tables, dtype=dtype), jnp.asarray(eidx))
-            )
+            self._groups.append((shape, fis, jnp.asarray(eidx)))
         # inverse permutation: concatenated group outputs -> edge order
         inv = np.empty(E, dtype=np.int32)
         inv[np.asarray(out_edge_order, dtype=np.int32)] = np.arange(
@@ -106,64 +118,97 @@ class _FloodingProgram:
 
         self._fn = jax.jit(self._make_engine())
 
+    def build_tables(self, factor_values):
+        """Pad the CURRENT factor value arrays into the per-group layout.
+
+        Tables are runtime INPUTS to the compiled engine, not baked
+        constants — factor mutations between queries are picked up without
+        recompiling (the host-numpy predecessor re-read ``f.values`` every
+        call; this keeps that contract)."""
+        out = []
+        for shape, fis, _ in self._groups:
+            tables = np.zeros((len(fis),) + shape, dtype=np.float32)
+            for row, fi in enumerate(fis):
+                vals = np.asarray(factor_values[fi], dtype=np.float32)
+                tables[row][tuple(slice(0, s) for s in vals.shape)] = vals
+            out.append(jnp.asarray(tables, dtype=self._dtype))
+        return tuple(out)
+
     def _make_engine(self):
         mask, nbr, groups, inv_perm = (
             self._mask, self._nbr, self._groups, self._inv_perm,
         )
         E, C = self.n_edges, self.max_card
-        max_iter, tol = self.max_iter, self.tol
+        max_iter, tol = self.max_iter, self._tol_eff
 
         def normalize(msgs):
             total = jnp.sum(msgs, axis=-1, keepdims=True)
             return jnp.where(total > 0, msgs / jnp.where(total > 0, total, 1.0), msgs)
 
-        def round_fn(f2v, fixed):
+        def round_fn(f2v, fixed, tables_in):
             # variable -> factor: exclusive product of the OTHER factors'
             # messages into the shared variable (dummy row E = identity)
             f2v_ext = jnp.concatenate([f2v, jnp.ones((1, C), f2v.dtype)])
             v2f = fixed * jnp.prod(f2v_ext[nbr], axis=1)
             v2f = normalize(v2f)
-            # factor -> variable: per arity bucket, one einsum per scope
+            # factor -> variable: per shape bucket, one einsum per scope
             # position k — factor table times the v2f messages on the
             # other positions, contracted down to axis k
             outs = []
-            for arity, tables, eidx in groups:
+            for (shape, fis, eidx), tables in zip(groups, tables_in):
+                arity = len(shape)
                 msgs = v2f[eidx]  # (F, arity, C)
                 f_ax = 0  # shared batch axis label; scope axes are 1..arity
                 for k in range(arity):
                     operands, axes = [tables], [(f_ax,) + tuple(range(1, arity + 1))]
                     for k2 in range(arity):
                         if k2 != k:
-                            operands.append(msgs[:, k2, :])
+                            # match each message to its axis' padded size:
+                            # slice when the axis is narrower than the
+                            # global message width C, zero-pad when the
+                            # pow2 padding exceeds C (states beyond the
+                            # true cardinality are zero on both sides)
+                            m = msgs[:, k2, :]
+                            if shape[k2] <= C:
+                                m = m[:, : shape[k2]]
+                            else:
+                                m = jnp.pad(m, ((0, 0), (0, shape[k2] - C)))
+                            operands.append(m)
                             axes.append((f_ax, k2 + 1))
-                    outs.append(
-                        sum_product(axes, (f_ax, k + 1), *operands)
-                    )
+                    out_k = sum_product(axes, (f_ax, k + 1), *operands)
+                    if shape[k] < C:
+                        out_k = jnp.pad(out_k, ((0, 0), (0, C - shape[k])))
+                    elif shape[k] > C:
+                        out_k = out_k[:, :C]
+                    outs.append(out_k)
             new_f2v = normalize(jnp.concatenate(outs, axis=0)[inv_perm])
             delta = jnp.max(jnp.abs(new_f2v - f2v))
             return new_f2v, delta
 
-        def engine(fixed, f2v_init):
+        def engine(fixed, f2v_init, tables_in):
             def cond(carry):
                 _, i, delta = carry
                 return (i < max_iter) & (delta >= tol)
 
             def body(carry):
                 f2v, i, _ = carry
-                new_f2v, delta = round_fn(f2v, fixed)
+                new_f2v, delta = round_fn(f2v, fixed, tables_in)
                 return new_f2v, i + 1, delta
 
             f2v0 = f2v_init * mask
-            out, _, _ = jax.lax.while_loop(
+            out, n_rounds, _ = jax.lax.while_loop(
                 cond, body, (f2v0, jnp.int32(0), jnp.asarray(jnp.inf, f2v0.dtype))
             )
-            return out
+            return out, n_rounds
 
         return engine
 
-    def run(self, fixed, f2v_init):
-        """One device dispatch: flood until convergence (or ``max_iter``)."""
-        return self._fn(jnp.asarray(fixed), jnp.asarray(f2v_init))
+    def run(self, fixed, f2v_init, tables):
+        """One device dispatch: flood until convergence (or ``max_iter``).
+        ``self.last_rounds`` records how many rounds the sweep took."""
+        out, n_rounds = self._fn(jnp.asarray(fixed), jnp.asarray(f2v_init), tables)
+        self.last_rounds = int(n_rounds)
+        return out
 
 
 class BeliefPropagationWithMessagePassing:
@@ -197,6 +242,7 @@ class BeliefPropagationWithMessagePassing:
         self.factors = list(model.factors)
         self.cardinality = model.get_cardinality()
         self._program = None
+        self._tables = None
 
     def _message_key(self, fi, var):
         """Reference-compatible message key (ExactInference.py:1447):
@@ -220,12 +266,23 @@ class BeliefPropagationWithMessagePassing:
         ):
             self._program = _FloodingProgram(
                 [list(f.variables) for f in self.factors],
-                [np.asarray(f.values) for f in self.factors],
                 self.cardinality,
                 max_iter=max_iter,
                 tol=tol,
             )
+            self._tables = None
         program = self._program
+        # factor tables are engine INPUTS; rebuild the padded layout when
+        # any factor's values were mutated/rebound since the last query
+        # (DiscreteFactor's values setter bumps `_mutation`)
+        tables_key = tuple(
+            (id(f), f.__dict__.get("_mutation", 0)) for f in self.factors
+        )
+        if getattr(self, "_tables", None) is None or self._tables[0] != tables_key:
+            self._tables = (
+                tables_key,
+                program.build_tables([f.values for f in self.factors]),
+            )
         E, C = program.n_edges, program.max_card
 
         fixed = np.zeros((E, C), dtype=np.float32)
@@ -241,7 +298,9 @@ class BeliefPropagationWithMessagePassing:
             else:
                 f2v_init[e, :card] = 1.0 / card
 
-        out = np.asarray(program.run(fixed, f2v_init), dtype=np.float64)
+        out = np.asarray(
+            program.run(fixed, f2v_init, self._tables[1]), dtype=np.float64
+        )
         return {
             (fi, var): out[e, :card]
             for e, ((fi, var), card) in enumerate(

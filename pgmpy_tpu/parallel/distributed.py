@@ -97,17 +97,25 @@ def shutdown():
 def device_grid(devices=None):
     """Global devices as an (n_processes, devices_per_process) grid,
     ordered so consecutive devices within a row share a host (ICI) and
-    rows span hosts (DCN)."""
+    rows span hosts (DCN).
+
+    Raises on ragged per-process device counts: silently truncating to
+    the minimum would drop devices from the mesh while callers believe
+    it spans the whole pod."""
     if devices is None:
         devices = jax.devices()
     by_proc = {}
     for d in devices:
         by_proc.setdefault(d.process_index, []).append(d)
-    rows = []
-    width = min(len(v) for v in by_proc.values())
-    for proc in sorted(by_proc):
-        row = sorted(by_proc[proc], key=lambda d: d.id)[:width]
-        rows.append(row)
+    counts = {p: len(v) for p, v in by_proc.items()}
+    if len(set(counts.values())) > 1:
+        raise ValueError(
+            "Per-process device counts differ "
+            f"({counts}); a rectangular pod mesh needs every process to "
+            "expose the same number of devices — restrict with "
+            "local_device_ids or pass an explicit `devices` list."
+        )
+    rows = [sorted(by_proc[proc], key=lambda d: d.id) for proc in sorted(by_proc)]
     return np.asarray(rows, dtype=object)
 
 

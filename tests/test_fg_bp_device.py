@@ -149,3 +149,64 @@ class TestGridFloodingBP:
             joint.sum(axis=(0, 1)),
             atol=1e-5,
         )
+
+
+class TestFloodingEngineContracts:
+    """Regressions for the r5 review findings: factor-mutation
+    invalidation, dtype-aware early convergence, and per-factor padded
+    shapes (no global-max-cardinality blowup)."""
+
+    def _two_var_graph(self, vals):
+        fg = FactorGraph()
+        fg.add_nodes_from(["a", "b"])
+        f = DiscreteFactor(["a", "b"], [2, 2], vals)
+        fg.add_factors(f)
+        fg.add_edges_from([("a", f), ("b", f)])
+        return fg, f
+
+    def test_factor_mutation_invalidates_tables(self):
+        import jax.numpy as jnp
+
+        fg, f = self._two_var_graph([2.0, 1.0, 1.0, 3.0])
+        bp = BeliefPropagationWithMessagePassing(fg)
+        first = np.asarray(bp.query(["b"])["b"].values, dtype=np.float64)
+        f.values = jnp.asarray([[1.0, 1.0], [1.0, 1.0]])
+        after = np.asarray(bp.query(["b"])["b"].values, dtype=np.float64)
+        np.testing.assert_allclose(after, [0.5, 0.5], atol=1e-6)
+        assert not np.allclose(first, after)
+
+    def test_converges_before_max_iter_and_warm_start_is_instant(self):
+        fg = _grid_factor_graph(6, seed=9)
+        bp = BeliefPropagationWithMessagePassing(fg)
+        res, messages = bp.query(["x0_0"], get_messages=True)
+        cold_rounds = bp._program.last_rounds
+        assert cold_rounds < 100, "f32 tol floor must allow convergence"
+        bp.query(["x0_0"], precomp_messages=messages)
+        assert bp._program.last_rounds <= 2, "warm start must exit immediately"
+
+    def test_mixed_cardinality_tables_padded_per_factor(self):
+        rng = np.random.default_rng(13)
+        fg = FactorGraph()
+        fg.add_nodes_from(["big", "s1", "s2", "s3"])
+        f1 = DiscreteFactor(["big", "s1"], [21, 2], rng.random((21, 2)) + 0.1)
+        f2 = DiscreteFactor(["s1", "s2", "s3"], [2, 2, 2],
+                            rng.random((2, 2, 2)) + 0.1)
+        fg.add_factors(f1, f2)
+        for f in (f1, f2):
+            fg.add_edges_from((v, f) for v in f.variables)
+        bp = BeliefPropagationWithMessagePassing(fg)
+        res = bp.query(["s3"])
+        program = bp._program
+        # the small arity-3 factor must NOT be padded to (32, 32, 32)
+        shapes = [shape for shape, _, _ in program._groups]
+        assert (2, 2, 2) in shapes
+        assert (32, 2) in shapes
+        # and the engine still gives the exact tree answer
+        joint = (
+            np.asarray(f1.values, dtype=np.float64)[:, :, None, None]
+            * np.asarray(f2.values, dtype=np.float64)[None, :, :, :]
+        )
+        marg = joint.sum(axis=(0, 1, 2))
+        np.testing.assert_allclose(
+            np.asarray(res["s3"].values, dtype=np.float64),
+            marg / marg.sum(), atol=1e-5)
