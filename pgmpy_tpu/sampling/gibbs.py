@@ -25,71 +25,114 @@ from pgmpy_tpu.models.markov_network import DiscreteMarkovNetwork
 
 
 class CompiledGibbs:
+    # above this row count the one-hot operand's bytes would exceed the
+    # gathered elements' serialized cost — keep the gather there
+    _MATMUL_MAX_ROWS = 4096
+
     def __init__(self, factors, variables, cards, state_names):
-        """factors: list of DiscreteFactor over ``variables``."""
+        """factors: list of DiscreteFactor over ``variables``.
+
+        The local-conditional kernel is formulated as one-hot MXU matmuls,
+        not gathers: a TPU gather of scalars serializes per element (the
+        r4-measured ~17 ns/elem put the old per-(var, factor) batched
+        gathers at ~100 ms per 10k-chain ALARM sweep).  Each blanket
+        factor's log table is pre-permuted so the target variable's axis
+        is LAST and reshaped to ``(rows, card)``; the chains' neighborhood
+        states index the row, so the conditional contribution is
+        ``one_hot(row_idx, rows) @ table`` — a (n_chains, rows) x
+        (rows, card) contraction the MXU eats whole.
+        """
         self.variables = list(variables)
         self.var_index = {v: i for i, v in enumerate(self.variables)}
         self.cards = [int(cards[v]) for v in self.variables]
         self.state_names = state_names
 
-        # per factor: flat log table + scope indices + strides
-        self._factor_logs = []
-        factor_specs = []
-        for f_id, factor in enumerate(factors):
-            vals = np.asarray(factor.values, dtype=np.float64)
-            self._factor_logs.append(
-                jnp.asarray(np.log(np.maximum(vals, 1e-38)).ravel(), dtype=config.DTYPE)
-            )
-            scope_idx = [self.var_index[v] for v in factor.variables]
-            strides = []
-            acc = 1
-            for c in reversed(vals.shape):
-                strides.append(acc)
-                acc *= c
-            strides = list(reversed(strides))
-            factor_specs.append((f_id, scope_idx, strides))
-
-        # per variable: the blanket factors and v's stride/position in each
+        # per (variable, blanket factor): permuted (rows, card) log table,
+        # the other scope variables' column indices, and their row strides
         self._var_specs = []
         for i, v in enumerate(self.variables):
             specs = []
-            for f_id, scope_idx, strides in factor_specs:
-                if i in scope_idx:
-                    pos = scope_idx.index(i)
-                    specs.append((f_id, scope_idx, strides, pos))
+            for factor in factors:
+                if v not in factor.variables:
+                    continue
+                vals = np.asarray(factor.values, dtype=np.float64)
+                logs = np.log(np.maximum(vals, 1e-38))
+                pos = list(factor.variables).index(v)
+                perm = [k for k in range(vals.ndim) if k != pos] + [pos]
+                moved = np.transpose(logs, perm)
+                card = vals.shape[pos]
+                rows = moved.size // card
+                other_idx = tuple(
+                    self.var_index[factor.variables[k]]
+                    for k in range(vals.ndim)
+                    if k != pos
+                )
+                rstrides = []
+                acc = 1
+                for c in reversed(
+                    [vals.shape[k] for k in range(vals.ndim) if k != pos]
+                ):
+                    rstrides.append(acc)
+                    acc *= c
+                rstrides = tuple(reversed(rstrides))
+                specs.append(
+                    (
+                        jnp.asarray(
+                            moved.reshape(rows, card), dtype=config.DTYPE
+                        ),
+                        other_idx,
+                        rstrides,
+                        rows,
+                    )
+                )
             self._var_specs.append(specs)
 
         self._run = jax.jit(self._run_chains, static_argnums=(1,))
 
-    def _conditional_logits(self, state, var_i):
-        """log P(var_i = k | rest) up to a constant, k = 0..card-1."""
+    def _conditional_logits(self, states, var_i):
+        """log P(var_i = k | rest) up to a constant, for EVERY chain:
+        states (n, d) -> (n, card)."""
+        from pgmpy_tpu.ops.einsum import PRECISION
+
+        n = states.shape[0]
         card = self.cards[var_i]
-        offsets = jnp.arange(card, dtype=jnp.int32)
-        total = jnp.zeros((card,), dtype=config.DTYPE)
-        for f_id, scope_idx, strides, pos in self._var_specs[var_i]:
-            base = jnp.int32(0)
-            for j, s in zip(scope_idx, strides):
-                if j != var_i:
-                    base = base + state[j] * s
-            total = total + self._factor_logs[f_id][base + offsets * strides[pos]]
+        total = jnp.zeros((n, card), dtype=config.DTYPE)
+        for table, other_idx, rstrides, rows in self._var_specs[var_i]:
+            if not other_idx:
+                total = total + table[0][None, :]
+                continue
+            row = jnp.zeros((n,), dtype=jnp.int32)
+            for j, s in zip(other_idx, rstrides):
+                row = row + states[:, j] * s
+            if rows <= self._MATMUL_MAX_ROWS:
+                onehot = jax.nn.one_hot(row, rows, dtype=table.dtype)
+                total = total + jax.lax.dot_general(
+                    onehot,
+                    table,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=PRECISION,
+                )
+            else:
+                total = total + table[row]
         return total
 
-    def _sweep(self, state, key):
+    def _sweep(self, states, key):
+        """One full Gibbs sweep over all variables for every chain:
+        states (n, d) -> (n, d)."""
         keys = jax.random.split(key, len(self.variables))
         for i in range(len(self.variables)):
-            logits = self._conditional_logits(state, i)
-            draw = jax.random.categorical(keys[i], logits).astype(jnp.int32)
-            state = state.at[i].set(draw)
-        return state
+            logits = self._conditional_logits(states, i)
+            draw = jax.random.categorical(keys[i], logits, axis=-1).astype(
+                jnp.int32
+            )
+            states = states.at[:, i].set(draw)
+        return states
 
     def _run_chains(self, key, size, init_states):
         """init_states: (n_chains, d).  Returns (size, n_chains, d)."""
-        n_chains = init_states.shape[0]
 
-        def step(carry, key_t):
-            states = carry
-            chain_keys = jax.random.split(key_t, n_chains)
-            new_states = jax.vmap(self._sweep)(states, chain_keys)
+        def step(states, key_t):
+            new_states = self._sweep(states, key_t)
             return new_states, new_states
 
         keys = jax.random.split(key, size)
