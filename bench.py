@@ -242,9 +242,13 @@ def main():
         # CompiledAncestralSampler would recompile the whole program)
         cas = BayesianModelSampling(alarm).sampler
         fwd_mask = jnp.full((len(cas.cards),), -1, dtype=jnp.int32)
+        # NOTE: must chain the JITTED program — calling the raw method
+        # re-traces per call and measures tracing, not the device
         secondary["alarm_forward_device_s"] = round(
             marginal_device_s(
-                lambda i: cas._forward(jax.random.PRNGKey(i), 100_000, fwd_mask)
+                lambda i: cas._forward_jit(
+                    jax.random.PRNGKey(i), 100_000, fwd_mask
+                )
             ),
             5,
         )
@@ -275,7 +279,7 @@ def main():
         ).astype(jnp.int32)
         secondary["alarm_gibbs_device_s"] = round(
             marginal_device_s(
-                lambda i: compiled._run_chains(jax.random.PRNGKey(i), 20, init)
+                lambda i: compiled._run(jax.random.PRNGKey(i), 20, init)
             ),
             5,
         )

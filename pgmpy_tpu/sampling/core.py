@@ -59,6 +59,14 @@ class CompiledAncestralSampler:
             strides = tuple(reversed(strides))
             self._node_specs.append((parent_idx, strides, log_table))
 
+        # sample codes leave the device in int8 when every cardinality
+        # fits: the tunnel moves bulk arrays at ~30 MB/s, so shrinking the
+        # (n, d) transfer 4x is the single biggest lever on sampling wall
+        # time (the compiled program itself runs in ~7 ms per 100k ALARM
+        # rows)
+        self._out_dtype = (
+            jnp.int8 if max(self.cards, default=2) < 128 else jnp.int32
+        )
         self._forward_jit = jax.jit(self._forward, static_argnums=(1,))
         self._forward_partial_jit = jax.jit(
             self._forward_partial, static_argnums=(1,)
@@ -123,6 +131,12 @@ class CompiledAncestralSampler:
         return state_to_index, index_to_weight
 
     # ------------------------------------------------------------------ #
+    # One-hot tile budget for the CPT row lookup: TPU gathers serialize
+    # per element, so rows are fetched as one_hot(config) @ table on the
+    # MXU when the (n, n_configs) one-hot stays within ~1 GB f32.
+    _MATMUL_MAX_ELEMS = 1 << 28
+    _MATMUL_MAX_CONFIGS = 4096
+
     def _parent_flat(self, columns, parent_idx, strides):
         if not parent_idx:
             return jnp.int32(0)  # unused: callers branch on parent_idx
@@ -130,6 +144,25 @@ class CompiledAncestralSampler:
         for pi, st in zip(parent_idx[1:], strides[1:]):
             flat = flat + columns[pi] * st
         return flat
+
+    def _table_rows(self, log_table, flat, n):
+        """(n, card) rows of ``log_table`` selected by ``flat`` — as an
+        MXU one-hot contraction where the tile fits, else a gather."""
+        from pgmpy_tpu.ops.einsum import PRECISION
+
+        n_configs = log_table.shape[0]
+        if (
+            n_configs <= self._MATMUL_MAX_CONFIGS
+            and n * n_configs <= self._MATMUL_MAX_ELEMS
+        ):
+            onehot = jax.nn.one_hot(flat, n_configs, dtype=log_table.dtype)
+            return jax.lax.dot_general(
+                onehot,
+                log_table,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=PRECISION,
+            )
+        return log_table[flat]
 
     def _forward(self, key, n, given):
         """given: (d,) int32, -1 = sample, >=0 = clamp to that state for all
@@ -140,12 +173,12 @@ class CompiledAncestralSampler:
         for i, (parent_idx, strides, log_table) in enumerate(self._node_specs):
             flat = self._parent_flat(columns, parent_idx, strides)
             if parent_idx:
-                logits = log_table[flat]  # (n, card)
+                logits = self._table_rows(log_table, flat, n)  # (n, card)
             else:
                 logits = jnp.broadcast_to(log_table[0], (n, log_table.shape[1]))
             draw = jax.random.categorical(keys[i], logits, axis=-1).astype(jnp.int32)
             columns[i] = jnp.where(given[i] >= 0, given[i], draw)
-        return jnp.stack(columns, axis=1)
+        return jnp.stack(columns, axis=1).astype(self._out_dtype)
 
     def _forward_partial(self, key, n, given, partial):
         """Like ``_forward`` but with a per-row (n, d) ``partial`` array:
@@ -158,13 +191,13 @@ class CompiledAncestralSampler:
         for i, (parent_idx, strides, log_table) in enumerate(self._node_specs):
             flat = self._parent_flat(columns, parent_idx, strides)
             if parent_idx:
-                logits = log_table[flat]
+                logits = self._table_rows(log_table, flat, n)
             else:
                 logits = jnp.broadcast_to(log_table[0], (n, log_table.shape[1]))
             draw = jax.random.categorical(keys[i], logits, axis=-1).astype(jnp.int32)
             draw = jnp.where(partial[:, i] >= 0, partial[:, i], draw)
             columns[i] = jnp.where(given[i] >= 0, given[i], draw)
-        return jnp.stack(columns, axis=1)
+        return jnp.stack(columns, axis=1).astype(self._out_dtype)
 
     def _likelihood_weighted(self, key, n, evidence_tuple):
         """evidence_tuple: tuple of (var_index, state).  Returns (samples,
@@ -176,7 +209,7 @@ class CompiledAncestralSampler:
         for i, (parent_idx, strides, log_table) in enumerate(self._node_specs):
             flat = self._parent_flat(columns, parent_idx, strides)
             if parent_idx:
-                logits = log_table[flat]
+                logits = self._table_rows(log_table, flat, n)
             else:
                 logits = jnp.broadcast_to(log_table[0], (n, log_table.shape[1]))
             if i in ev:
@@ -187,7 +220,7 @@ class CompiledAncestralSampler:
                 columns[i] = jax.random.categorical(
                     keys[i], logits, axis=-1
                 ).astype(jnp.int32)
-        return jnp.stack(columns, axis=1), logw
+        return jnp.stack(columns, axis=1).astype(self._out_dtype), logw
 
     # ------------------------------------------------------------------ #
     def forward(self, n, seed=None, clamp=None, partial=None):
@@ -270,9 +303,19 @@ class CompiledAncestralSampler:
         import pandas as pd
 
         codes = np.asarray(codes)
-        df = pd.DataFrame(codes, columns=self.variables)
-        for v in self.variables:
-            df[v] = pd.Categorical.from_codes(df[v], categories=self.state_names[v])
-        if not include_latents:
-            df = df.loc[:, [c for c in df.columns if c not in self.model.latents]]
-        return df
+        # build the categorical columns directly (one pass, no int
+        # DataFrame + per-column reassignment churn)
+        keep = [
+            v for v in self.variables
+            if include_latents or v not in self.model.latents
+        ]
+        return pd.DataFrame(
+            {
+                v: pd.Categorical.from_codes(
+                    codes[:, self.var_index[v]],
+                    categories=self.state_names[v],
+                )
+                for v in keep
+            },
+            copy=False,
+        )

@@ -129,14 +129,18 @@ class CompiledGibbs:
         return states
 
     def _run_chains(self, key, size, init_states):
-        """init_states: (n_chains, d).  Returns (size, n_chains, d)."""
+        """init_states: (n_chains, d).  Returns (size, n_chains, d) in
+        int8 when every cardinality fits — the (sweeps, chains, d)
+        trajectory is a bulk transfer over the slow tunnel, so shrinking
+        it 4x matters more than the sweep kernel."""
+        out_dtype = jnp.int8 if max(self.cards, default=2) < 128 else jnp.int32
 
         def step(states, key_t):
             new_states = self._sweep(states, key_t)
-            return new_states, new_states
+            return new_states, new_states.astype(out_dtype)
 
         keys = jax.random.split(key, size)
-        _, trajectory = jax.lax.scan(step, init_states, keys)
+        _, trajectory = jax.lax.scan(step, init_states.astype(jnp.int32), keys)
         return trajectory
 
 
