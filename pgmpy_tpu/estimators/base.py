@@ -40,6 +40,7 @@ def _padded_counts_matmul_kernel(codes, w, col_idx, cards, spec_w, m, n_chunk):
     Returns the (s, m) table matrix: row i is spec i's flattened count
     table in its first ``size_i`` entries.
     """
+    codes = codes.astype(jnp.int32)
     s = col_idx.shape[0]
     k = col_idx.shape[1]
     flat = jnp.zeros((s, codes.shape[0]), dtype=jnp.int32)
@@ -95,6 +96,7 @@ def _padded_counts_kernel(codes, w, col_idx, cards, offsets, spec_w, total):
     padding; offsets (s,) int32 start of each spec's table; spec_w (s,)
     1.0 for real specs / 0.0 for padding rows.
     """
+    codes = codes.astype(jnp.int32)
     s, k = col_idx.shape
     flat = jnp.zeros((s, codes.shape[0]), dtype=jnp.int32)
     valid = jnp.ones((s, codes.shape[0]), dtype=bool)
@@ -121,6 +123,7 @@ def _multi_counts_kernel(codes, w, spec):
     the compiled program per spec — EM calls this every iteration with the
     same spec and must not retrace (ADVICE r1)."""
     col_lists, all_cards, offsets, total = spec
+    codes = codes.astype(jnp.int32)
     flats = []
     ws = []
     for cols, cards, off in zip(col_lists, all_cards, offsets):
@@ -195,6 +198,13 @@ class _CodedData:
             codes[:, j] = np.asarray(
                 pd.Categorical(col, categories=names).codes, dtype=np.int32
             )
+        # upload int8 when every cardinality fits (NaN code -1 included):
+        # the host->device link moves bulk arrays slowly (~30 MB/s via the
+        # tunnel), and a 100k x 37 frame is 14.8 MB as int32 vs 3.7 as
+        # int8 — the upload dominated large MLE fits.  Kernels upcast to
+        # int32 before any index arithmetic.
+        if all(c < 128 for c in map(len, self.state_names.values())):
+            codes = codes.astype(np.int8)
         self.codes = jnp.asarray(codes)
         self.var_index = {v: j for j, v in enumerate(self.variables)}
         self.cards = {v: len(self.state_names[v]) for v in self.variables}
@@ -217,7 +227,7 @@ class _CodedData:
         a host round-trip)."""
         cols = [self.var_index[variable]] + [self.var_index[p] for p in parents]
         cards = [self.cards[variable]] + [self.cards[p] for p in parents]
-        sub = self.codes[:, jnp.asarray(cols)]
+        sub = self.codes[:, jnp.asarray(cols)].astype(jnp.int32)
         valid = jnp.all(sub >= 0, axis=1)
         flat = sub[:, 0]
         for k in range(1, len(cols)):
