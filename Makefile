@@ -17,9 +17,13 @@ test-tpu:
 bench:
 	python bench.py
 
-# Multi-chip sharding compile check on 8 virtual devices.
+# Multi-chip sharding compile check on 8 virtual devices.  The env var
+# alone is NOT enough: sitecustomize pins jax_platforms="axon,cpu", so
+# the platform must be forced to cpu after importing jax.
 dryrun:
-	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+	XLA_FLAGS="--xla_force_host_platform_device_count=8" python -c "\
+	import jax; jax.config.update('jax_platforms', 'cpu'); \
+	import __graft_entry__ as g; g.dryrun_multichip(8); print('DRYRUN OK')"
 
 # API-parity gate vs the live reference: exits non-zero on any missing
 # class/method/param OR any namespace import failure (no vacuous success).
