@@ -20,6 +20,23 @@ only the mesh construction here knows about processes.
 Single-process calls degrade gracefully: ``initialize()`` with no
 coordinator (or ``num_processes=1``) is a recorded no-op, so library code
 can call it unconditionally.
+
+Examples
+--------
+>>> import jax
+>>> from pgmpy_tpu.parallel import distributed as dist
+>>> dist.initialize()  # no coordinator: single-process mode
+(0, 1)
+>>> dist.is_initialized()
+True
+>>> mesh = dist.global_mesh()
+>>> mesh.axis_names
+('chains',)
+>>> int(mesh.devices.size) == len(jax.devices())
+True
+>>> key = dist.host_fold_key(jax.random.PRNGKey(0), process_index=2)
+>>> bool((key == jax.random.PRNGKey(0)).all())
+False
 """
 
 import numpy as np

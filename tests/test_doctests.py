@@ -35,6 +35,7 @@ MODULES = [
     "pgmpy_tpu.estimators.hill_climb",
     "pgmpy_tpu.estimators.pc",
     "pgmpy_tpu.estimators.tree_search",
+    "pgmpy_tpu.parallel.distributed",
     "pgmpy_tpu.independencies.independencies",
     "pgmpy_tpu.metrics.metrics",
     "pgmpy_tpu.utils.utils",

@@ -129,11 +129,36 @@ def phase_ref():
     print(json.dumps(results))
 
 
+def phase_predict():
+    """Reference predict() baseline: per-unique-row VE via joblib
+    (``DiscreteBayesianNetwork.py:731-911``) on the same 2000-row frame
+    bench.py predicts (BP/HISTORY columns dropped)."""
+    import pandas as pd
+
+    from pgmpy.estimators import MaximumLikelihoodEstimator
+    from pgmpy.models import DiscreteBayesianNetwork
+
+    df = pd.read_csv(f"{OUT_DIR}/alarm2000.csv", dtype=str).astype("category")
+    edges = json.load(open(f"{OUT_DIR}/alarm_edges.json"))
+    model = DiscreteBayesianNetwork(edges)
+    model.add_cpds(*MaximumLikelihoodEstimator(model, df).get_parameters(n_jobs=1))
+    pred_df = df.drop(columns=["BP", "HISTORY"])
+    t, ts = median_time(lambda: model.predict(pred_df, n_jobs=1), reps=3)
+    out = {
+        "alarm_predict_2000_s": {"median": round(t, 3),
+                                 "all": [round(x, 3) for x in ts]},
+        "alarm_predict_rows_per_s": int(len(pred_df) / t),
+    }
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if sys.argv[1:] == ["gen"]:
         phase_gen()
     elif sys.argv[1:] == ["ref"]:
         phase_ref()
+    elif sys.argv[1:] == ["predict"]:
+        phase_predict()
     else:
         print(__doc__)
         sys.exit(2)
