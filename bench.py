@@ -33,6 +33,7 @@ BASELINE_MUNIN_CALIBRATE_S = 3400.0
 # reference pgmpy-CPU learning lane (BASELINE.md "Measured — learning lane",
 # tools/measure_ref_learning.py medians on this machine, r5)
 BASELINE_REF = {
+    "alarm_predict_rows_per_s": 72,
     "alarm_pc_skeleton_s": 23.374,
     "alarm_hillclimb_s": 8.5,
     "alarm_treesearch_s": 1.878,

@@ -23,6 +23,32 @@ from pgmpy_tpu.config import config
 
 _NEG_INF = -1e30
 
+# One-hot tile budget for table-row lookups: TPU gathers serialize per
+# element, so (n, card) row fetches go through the MXU as
+# ``one_hot(idx) @ table`` whenever the (n, n_rows) one-hot stays within
+# ~1 GB f32 AND the table is narrow enough for the one-hot to pay off.
+ONEHOT_MAX_ROWS = 4096
+ONEHOT_MAX_ELEMS = 1 << 28
+
+
+def onehot_table_rows(table, idx, n, max_rows=ONEHOT_MAX_ROWS,
+                      max_elems=ONEHOT_MAX_ELEMS):
+    """(n, card) rows of ``table`` selected by ``idx`` — an MXU one-hot
+    contraction where the tile fits, else a gather.  Shared by the
+    ancestral sampler and the Gibbs kernel (both were gather-bound)."""
+    from pgmpy_tpu.ops.einsum import PRECISION
+
+    n_rows = table.shape[0]
+    if n_rows <= max_rows and n * n_rows <= max_elems:
+        onehot = jax.nn.one_hot(idx, n_rows, dtype=table.dtype)
+        return jax.lax.dot_general(
+            onehot,
+            table,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=PRECISION,
+        )
+    return table[idx]
+
 
 class CompiledAncestralSampler:
     """Compile a DiscreteBayesianNetwork into a device sampling program."""
@@ -131,12 +157,6 @@ class CompiledAncestralSampler:
         return state_to_index, index_to_weight
 
     # ------------------------------------------------------------------ #
-    # One-hot tile budget for the CPT row lookup: TPU gathers serialize
-    # per element, so rows are fetched as one_hot(config) @ table on the
-    # MXU when the (n, n_configs) one-hot stays within ~1 GB f32.
-    _MATMUL_MAX_ELEMS = 1 << 28
-    _MATMUL_MAX_CONFIGS = 4096
-
     def _parent_flat(self, columns, parent_idx, strides):
         if not parent_idx:
             return jnp.int32(0)  # unused: callers branch on parent_idx
@@ -146,23 +166,9 @@ class CompiledAncestralSampler:
         return flat
 
     def _table_rows(self, log_table, flat, n):
-        """(n, card) rows of ``log_table`` selected by ``flat`` — as an
-        MXU one-hot contraction where the tile fits, else a gather."""
-        from pgmpy_tpu.ops.einsum import PRECISION
-
-        n_configs = log_table.shape[0]
-        if (
-            n_configs <= self._MATMUL_MAX_CONFIGS
-            and n * n_configs <= self._MATMUL_MAX_ELEMS
-        ):
-            onehot = jax.nn.one_hot(flat, n_configs, dtype=log_table.dtype)
-            return jax.lax.dot_general(
-                onehot,
-                log_table,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=PRECISION,
-            )
-        return log_table[flat]
+        """(n, card) CPT rows for the flat parent configs (see
+        :func:`onehot_table_rows`)."""
+        return onehot_table_rows(log_table, flat, n)
 
     def _forward(self, key, n, given):
         """given: (d,) int32, -1 = sample, >=0 = clamp to that state for all
@@ -224,7 +230,10 @@ class CompiledAncestralSampler:
 
     # ------------------------------------------------------------------ #
     def forward(self, n, seed=None, clamp=None, partial=None):
-        """Draw n ancestral samples; returns int32 codes (n, d).
+        """Draw n ancestral samples; returns integer codes (n, d) —
+        int8 when every cardinality < 128 (cheap device-to-host
+        transfer), int32 otherwise.  Upcast before any stride/flat-index
+        arithmetic on the result.
 
         clamp: {var: state_index} fixed states (roots/do-interventions).
         partial: (n, d) int32 array with -1 where sampling is needed.

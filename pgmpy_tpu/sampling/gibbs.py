@@ -25,9 +25,11 @@ from pgmpy_tpu.models.markov_network import DiscreteMarkovNetwork
 
 
 class CompiledGibbs:
-    # above this row count the one-hot operand's bytes would exceed the
-    # gathered elements' serialized cost — keep the gather there
-    _MATMUL_MAX_ROWS = 4096
+    # a factor table above this element count is NOT duplicated per scope
+    # variable: it keeps one shared flat log table with the original
+    # scalar-gather formulation (big tables would multiply device memory
+    # by their arity, and the one-hot matmul can't fire on them anyway)
+    _DUP_TABLE_MAX = 1 << 22
 
     def __init__(self, factors, variables, cards, state_names):
         """factors: list of DiscreteFactor over ``variables``.
@@ -39,25 +41,51 @@ class CompiledGibbs:
         factor's log table is pre-permuted so the target variable's axis
         is LAST and reshaped to ``(rows, card)``; the chains' neighborhood
         states index the row, so the conditional contribution is
-        ``one_hot(row_idx, rows) @ table`` — a (n_chains, rows) x
-        (rows, card) contraction the MXU eats whole.
+        ``one_hot(row_idx, rows) @ table`` (:func:`core.onehot_table_rows`,
+        gather fallback above its tile bounds).  Tables past
+        ``_DUP_TABLE_MAX`` elements stay as ONE shared flat copy per
+        factor with per-element gathers, trading speed for memory.
         """
         self.variables = list(variables)
         self.var_index = {v: i for i, v in enumerate(self.variables)}
         self.cards = [int(cards[v]) for v in self.variables]
         self.state_names = state_names
 
-        # per (variable, blanket factor): permuted (rows, card) log table,
-        # the other scope variables' column indices, and their row strides
+        # shared flat log tables for oversized factors (one per factor)
+        flat_logs = {}
+        factor_meta = []
+        for f_id, factor in enumerate(factors):
+            vals = np.asarray(factor.values, dtype=np.float64)
+            logs = np.log(np.maximum(vals, 1e-38))
+            scope_idx = [self.var_index[u] for u in factor.variables]
+            strides = []
+            acc = 1
+            for c in reversed(vals.shape):
+                strides.append(acc)
+                acc *= c
+            strides = list(reversed(strides))
+            factor_meta.append((vals, logs, scope_idx, strides))
+            if vals.size > self._DUP_TABLE_MAX:
+                flat_logs[f_id] = jnp.asarray(
+                    logs.ravel(), dtype=config.DTYPE
+                )
+
+        # per (variable, blanket factor): either a permuted (rows, card)
+        # table spec ("mxu") or a shared-flat gather spec ("flat")
         self._var_specs = []
         for i, v in enumerate(self.variables):
             specs = []
-            for factor in factors:
+            for f_id, factor in enumerate(factors):
                 if v not in factor.variables:
                     continue
-                vals = np.asarray(factor.values, dtype=np.float64)
-                logs = np.log(np.maximum(vals, 1e-38))
+                vals, logs, scope_idx, strides = factor_meta[f_id]
                 pos = list(factor.variables).index(v)
+                if f_id in flat_logs:
+                    specs.append(
+                        ("flat", flat_logs[f_id], tuple(scope_idx),
+                         tuple(strides), pos)
+                    )
+                    continue
                 perm = [k for k in range(vals.ndim) if k != pos] + [pos]
                 moved = np.transpose(logs, perm)
                 card = vals.shape[pos]
@@ -77,12 +105,12 @@ class CompiledGibbs:
                 rstrides = tuple(reversed(rstrides))
                 specs.append(
                     (
+                        "mxu",
                         jnp.asarray(
                             moved.reshape(rows, card), dtype=config.DTYPE
                         ),
                         other_idx,
                         rstrides,
-                        rows,
                     )
                 )
             self._var_specs.append(specs)
@@ -92,28 +120,29 @@ class CompiledGibbs:
     def _conditional_logits(self, states, var_i):
         """log P(var_i = k | rest) up to a constant, for EVERY chain:
         states (n, d) -> (n, card)."""
-        from pgmpy_tpu.ops.einsum import PRECISION
+        from pgmpy_tpu.sampling.core import onehot_table_rows
 
         n = states.shape[0]
         card = self.cards[var_i]
         total = jnp.zeros((n, card), dtype=config.DTYPE)
-        for table, other_idx, rstrides, rows in self._var_specs[var_i]:
+        for spec in self._var_specs[var_i]:
+            if spec[0] == "flat":
+                _, flat_table, scope_idx, strides, pos = spec
+                base = jnp.zeros((n,), dtype=jnp.int32)
+                for j, s in zip(scope_idx, strides):
+                    if j != var_i:
+                        base = base + states[:, j] * s
+                offsets = jnp.arange(card, dtype=jnp.int32) * strides[pos]
+                total = total + flat_table[base[:, None] + offsets[None, :]]
+                continue
+            _, table, other_idx, rstrides = spec
             if not other_idx:
                 total = total + table[0][None, :]
                 continue
             row = jnp.zeros((n,), dtype=jnp.int32)
             for j, s in zip(other_idx, rstrides):
                 row = row + states[:, j] * s
-            if rows <= self._MATMUL_MAX_ROWS:
-                onehot = jax.nn.one_hot(row, rows, dtype=table.dtype)
-                total = total + jax.lax.dot_general(
-                    onehot,
-                    table,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    precision=PRECISION,
-                )
-            else:
-                total = total + table[row]
+            total = total + onehot_table_rows(table, row, n)
         return total
 
     def _sweep(self, states, key):
@@ -222,7 +251,9 @@ class GibbsSampling(MarkovChain):
         return np.tile(np.asarray(codes, dtype=np.int32), (n_chains, 1))
 
     def sample(self, start_state=None, size=1, seed=None, include_latents=False):
-        """A single-chain trajectory of ``size`` sweeps as a DataFrame."""
+        """A single-chain trajectory of ``size`` sweeps as a DataFrame.
+        Latent columns are dropped unless ``include_latents`` (reference
+        ``Sampling.py:583-585``)."""
         import pandas as pd
 
         init = self._init_codes(start_state, 1, seed)
@@ -231,11 +262,14 @@ class GibbsSampling(MarkovChain):
         )
         traj = np.asarray(self._compiled._run(key, int(size), jnp.asarray(init)))
         df = pd.DataFrame(traj[:, 0, :], columns=self.variables)
+        if not include_latents and self.latents:
+            df = df.drop(columns=[v for v in self.variables if v in self.latents])
         return df
 
     def sample_chains(self, n_chains, size, start_state=None, seed=None, thin=1):
-        """(size, n_chains, d) int32 trajectory for many chains in one
-        compiled program."""
+        """(size, n_chains, d) integer trajectory for many chains in one
+        compiled program — int8 when every cardinality < 128 (cheap
+        transfer; upcast before flat-index arithmetic), int32 otherwise."""
         init = self._init_codes(start_state, n_chains, seed)
         key = jax.random.PRNGKey(
             np.random.randint(0, 2**31) if seed is None else seed
