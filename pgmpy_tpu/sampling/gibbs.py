@@ -281,7 +281,10 @@ class GibbsSampling(MarkovChain):
         """Generator over sweeps (reference ``Sampling.py:587-633``);
         ``include_latents=False`` drops latent variables from each yielded
         assignment."""
-        df = self.sample(start_state=start_state, size=size, seed=seed)
+        # sample() now drops latents itself; ask for the full frame here
+        # and filter per include_latents below
+        df = self.sample(start_state=start_state, size=size, seed=seed,
+                         include_latents=True)
         from pgmpy_tpu.factors.discrete import State
 
         latents = getattr(self, "latents", set()) or set()

@@ -437,3 +437,53 @@ class TestDistributed:
             mesh=get_mesh(n_devices=1),
         )
         np.testing.assert_allclose(values, ref, atol=1e-6)
+
+
+class TestDistributedMultiProcess:
+    """REAL multi-process execution of the multi-host entry point: two
+    separate interpreters join through initialize() over a localhost
+    coordinator (Gloo), build the pod-spanning mesh (2 processes x 2
+    virtual devices), and run cross-process psum collectives plus a
+    sharded sampling kernel.  This is the code path a TPU pod runs,
+    exercised without pod hardware."""
+
+    def test_two_process_pod(self):
+        import os
+        import socket
+        import subprocess
+        import sys
+
+        # grab a free port for the coordinator
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        worker = str(
+            __import__("pathlib").Path(__file__).with_name(
+                "distributed_worker.py")
+        )
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # worker sets its own 2-device flag
+        env["PYTHONPATH"] = (
+            "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+        )
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-u", worker, str(rank), str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env,
+            )
+            for rank in (0, 1)
+        ]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=240)
+                outs.append(out)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        for rank, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
+            assert f"WORKER {rank} OK" in out
