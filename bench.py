@@ -345,6 +345,39 @@ def main():
         )
         secondary["grid16_loopy_bp_ms"] = round(t * 1000, 2)
 
+        # ---- DBN filtering via SMC particle filter (north-star #5) ---- #
+        from pgmpy_tpu.factors.cpd import TabularCPD
+        from pgmpy_tpu.models import DynamicBayesianNetwork
+        from pgmpy_tpu.sampling.smc import ParticleFilter
+
+        dbn = DynamicBayesianNetwork()
+        dbn.add_edges_from(
+            [(("rain", 0), ("umbrella", 0)), (("rain", 0), ("rain", 1))]
+        )
+        dbn.add_cpds(
+            TabularCPD(("rain", 0), 2, [[0.5], [0.5]]),
+            TabularCPD(("umbrella", 0), 2, [[0.8, 0.1], [0.2, 0.9]],
+                       evidence=[("rain", 0)], evidence_card=[2]),
+            TabularCPD(("rain", 1), 2, [[0.7, 0.3], [0.3, 0.7]],
+                       evidence=[("rain", 0)], evidence_card=[2]),
+            TabularCPD(("umbrella", 1), 2, [[0.8, 0.1], [0.2, 0.9]],
+                       evidence=[("rain", 1)], evidence_card=[2]),
+        )
+        n_particles, horizon = 16384, 200
+        pf = ParticleFilter(dbn, n_particles=n_particles)
+        smc_ev = {("umbrella", t): t % 2 for t in range(0, horizon, 3)}
+        progress("warm smc (compile)")
+        pf.filter(evidence=smc_ev, n_time_slices=horizon, seed=0)  # warm
+        t = median_time(
+            lambda i: pf.filter(evidence=smc_ev, n_time_slices=horizon,
+                                seed=i + 1),
+            reps=3,
+            key="dbn_smc",
+        )
+        secondary["dbn_smc_particle_steps_per_s"] = int(
+            n_particles * horizon / t
+        )
+
         # ---- structure learning + parameter fitting (r4/r5) ------------ #
         # one batched count dispatch per level/iteration (reference fans
         # these out over joblib workers, BaseConstraintEstimator.py:264,
@@ -439,6 +472,7 @@ def main():
         "alarm_gibbs_device_s",
         "ecoli70_nuts_samples_per_s",
         "grid16_loopy_bp_ms",
+        "dbn_smc_particle_steps_per_s",
         "alarm_pc_skeleton_s",
         "alarm_hillclimb_s",
         "alarm_treesearch_s",

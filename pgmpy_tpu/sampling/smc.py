@@ -132,6 +132,26 @@ class ParticleFilter:
 
         start_specs = self._start_specs
         trans_specs = self._trans_specs
+        # ONE persistent jitted program (cached on the instance): the old
+        # closure was re-jitted on every filter() call (full retrace), and
+        # the per-(var, t) np.asarray output loop issued T*d tiny
+        # device-to-host transfers — ~0.4-4 s of pure tunnel roundtrips on
+        # a 200-slice run
+        run = self._filter_program()
+        final, marginals, ess = run(key, ev_matrix)
+        marg_np = [np.asarray(m) for m in marginals]  # d bulk transfers
+        out = {}
+        for t in range(n_time_slices):
+            for j, v in enumerate(self.variables):
+                out[(v, t)] = marg_np[j][t]
+        return out, np.asarray(final), np.asarray(ess)
+
+    def _filter_program(self):
+        if getattr(self, "_run_jit", None) is not None:
+            return self._run_jit
+        n, d = self.n_particles, len(self.variables)
+        start_specs = self._start_specs
+        trans_specs = self._trans_specs
         sweep = self._sweep
         resample = self._systematic_resample
         ess_min = self.ess_threshold * n
@@ -159,20 +179,15 @@ class ParticleFilter:
             return (particles_out, logw_out, key), (marginals, ess)
 
         @jax.jit
-        def run(key):
+        def run(key, ev_matrix):
+            n_slices = ev_matrix.shape[0]
             init = jnp.zeros((n, d), dtype=jnp.int32)
             logw0 = jnp.zeros((n,), dtype=config.DTYPE)
-            is_first = jnp.asarray(
-                [t == 0 for t in range(n_time_slices)]
-            )
+            is_first = jnp.arange(n_slices) == 0
             (final, _, _), (marginals, ess) = jax.lax.scan(
                 step, (init, logw0, key), (ev_matrix, is_first)
             )
             return final, marginals, ess
 
-        final, marginals, ess = run(key)
-        out = {}
-        for t in range(n_time_slices):
-            for j, v in enumerate(self.variables):
-                out[(v, t)] = np.asarray(marginals[j][t])
-        return out, np.asarray(final), np.asarray(ess)
+        self._run_jit = run
+        return run
