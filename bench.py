@@ -116,6 +116,24 @@ def main():
         "max": round(times[-1], 4),
     }
 
+    # integrity variant: the tunnel's block_until_ready can under-report
+    # for some programs (CLAUDE.md r5 notes), so ALSO time calibration
+    # with a forced scalar readback of one output buffer — XLA programs
+    # materialize all outputs together, so one value proves the whole
+    # program executed.  (Do NOT sum the whole belief list here: a
+    # 330-argument readback program pays per-argument tunnel marshalling
+    # and measures the proxy layer, not the device.)
+    one_sum = jax.jit(lambda b0: b0.sum())
+    float(np.asarray(one_sum(bp._raw_beliefs[0][0])))  # warm
+    rb_times = []
+    for _ in range(7):
+        t0 = time.time()
+        bp._calibrate_junction_tree("marginalize")
+        float(np.asarray(one_sum(bp._raw_beliefs[0][0])))
+        rb_times.append(time.time() - t0)
+    rb_times.sort()
+    steady_spread["readback_median"] = round(rb_times[len(rb_times) // 2], 4)
+
     # per-metric spread so noise vs regression is decidable (VERDICT r3 #3)
     spreads = {}
 
