@@ -14,6 +14,25 @@ last column dropped, canonical correlations of the residual blocks, and the
 Muller-Peterson F approximation of Pillai's trace.  Categorical columns are
 integer-coded (never float-coerced) everywhere, so the tests work on the
 string-state DataFrames that ``model.simulate`` produces.
+
+Examples
+--------
+>>> import numpy as np
+>>> import pandas as pd
+>>> from pgmpy_tpu.estimators.citests import chi_square
+>>> rng = np.random.default_rng(0)
+>>> z = rng.integers(0, 2, 2000)
+>>> df = pd.DataFrame({
+...     "z": z,
+...     "x": np.where(rng.random(2000) < 0.8, z, 1 - z),
+...     "y": np.where(rng.random(2000) < 0.8, z, 1 - z)})
+>>> chi_square("x", "y", ["z"], df)   # conditionally independent given z
+True
+>>> chi_square("x", "z", [], df)      # marginally dependent
+False
+>>> stat, p, dof = chi_square("x", "y", ["z"], df, boolean=False)
+>>> dof
+2
 """
 
 import numpy as np

@@ -21,6 +21,32 @@ from pgmpy_tpu.factors.cpd import TabularCPD
 
 
 class ExpectationMaximization(ParameterEstimator):
+    """EM for latent-variable CPD estimation: the E-step's per-row
+    latent-grid log-likelihoods run as one jitted device program, the
+    M-step is a weighted batched count.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import pandas as pd
+    >>> from pgmpy_tpu.estimators import ExpectationMaximization
+    >>> from pgmpy_tpu.models import DiscreteBayesianNetwork
+    >>> rng = np.random.default_rng(0)
+    >>> h = rng.integers(0, 2, 800)
+    >>> df = pd.DataFrame({
+    ...     "a": np.where(rng.random(800) < 0.9, h, 1 - h),
+    ...     "b": np.where(rng.random(800) < 0.9, h, 1 - h)})
+    >>> model = DiscreteBayesianNetwork([("h", "a"), ("h", "b")],
+    ...                                 latents={"h"})
+    >>> cpds = ExpectationMaximization(model, df).get_parameters(
+    ...     seed=0, show_progress=False)
+    >>> sorted(c.variable for c in cpds)
+    ['a', 'b', 'h']
+    >>> vals = next(c for c in cpds if c.variable == "a").get_values()
+    >>> bool(abs(vals[0, 0] - vals[0, 1]) > 0.5)  # a tracks the latent
+    True
+    """
+
     def __init__(self, model, data, **kwargs):
         from pgmpy_tpu.models.discrete_bn import DiscreteBayesianNetwork
 

@@ -2,6 +2,15 @@
 
 Parity: ``/root/reference/pgmpy/factors/discrete/NoisyOR.py:8-75``.
 P(variable=True | parents) = 1 - prod_{active parents} (1 - p_i).
+
+Examples
+--------
+>>> import numpy as np
+>>> from pgmpy_tpu.factors import NoisyORCPD
+>>> cpd = NoisyORCPD("fever", [0.8, 0.6], evidence=["flu", "cold"])
+>>> vals = np.asarray(cpd.get_values(), dtype=float).round(2)
+>>> vals[0].tolist()  # P(fever=True | flu,cold in TT/TF/FT/FF order)
+[0.92, 0.8, 0.6, 0.0]
 """
 
 import itertools

@@ -59,6 +59,35 @@ class DynamicNode:
 
 
 class DynamicBayesianNetwork(DAG):
+    """2-TBN dynamic Bayesian network: nodes are ``(name, slice)`` pairs,
+    intra-slice edges mirror into slice 1, inter-slice edges carry state
+    forward.
+
+    Examples
+    --------
+    >>> from pgmpy_tpu.factors import TabularCPD
+    >>> from pgmpy_tpu.models import DynamicBayesianNetwork
+    >>> dbn = DynamicBayesianNetwork()
+    >>> dbn.add_edges_from(
+    ...     [(("rain", 0), ("umbrella", 0)), (("rain", 0), ("rain", 1))])
+    >>> dbn.add_cpds(
+    ...     TabularCPD(("rain", 0), 2, [[0.5], [0.5]]),
+    ...     TabularCPD(("umbrella", 0), 2, [[0.8, 0.1], [0.2, 0.9]],
+    ...                evidence=[("rain", 0)], evidence_card=[2]),
+    ...     TabularCPD(("rain", 1), 2, [[0.7, 0.3], [0.3, 0.7]],
+    ...                evidence=[("rain", 0)], evidence_card=[2]),
+    ...     TabularCPD(("umbrella", 1), 2, [[0.8, 0.1], [0.2, 0.9]],
+    ...                evidence=[("rain", 1)], evidence_card=[2]))
+    >>> dbn.check_model()
+    True
+    >>> dbn.get_interface_nodes(0)
+    [('rain', 0)]
+    >>> df = dbn.simulate(n_samples=50, n_time_slices=3, seed=0,
+    ...                   show_progress=False)
+    >>> (("rain", 2) in df.columns, len(df))
+    (True, 50)
+    """
+
     def __init__(self, ebunch=None):
         super().__init__()
         if ebunch:

@@ -16,6 +16,22 @@ from pgmpy_tpu.factors.discrete import State
 
 
 class MarkovChain:
+    """Multi-variable Markov chain with per-variable transition models;
+    sampling runs as a compiled ``lax.scan``.
+
+    Examples
+    --------
+    >>> from pgmpy_tpu.models import MarkovChain
+    >>> chain = MarkovChain(["weather"], [2], start_state=[("weather", 0)])
+    >>> chain.add_transition_model("weather",
+    ...                            {0: {0: 0.7, 1: 0.3}, 1: {0: 0.3, 1: 0.7}})
+    >>> df = chain.sample(size=10, seed=0)
+    >>> (list(df.columns), len(df))
+    (['weather'], 10)
+    >>> bool(chain.is_stationarity(tolerance=0.2))
+    True
+    """
+
     def __init__(self, variables=None, card=None, start_state=None):
         if variables is None:
             variables = []

@@ -7,6 +7,31 @@ star: particles advance through one compiled ``lax.scan`` over time slices
 model, log-weight accumulation from per-slice evidence, and systematic
 resampling when the effective sample size drops below a threshold.
 Particles shard over a ``chains`` mesh with ``psum`` weight reductions.
+
+Examples
+--------
+>>> import numpy as np
+>>> from pgmpy_tpu.factors import TabularCPD
+>>> from pgmpy_tpu.models import DynamicBayesianNetwork
+>>> from pgmpy_tpu.sampling.smc import ParticleFilter
+>>> dbn = DynamicBayesianNetwork()
+>>> dbn.add_edges_from(
+...     [(("rain", 0), ("umbrella", 0)), (("rain", 0), ("rain", 1))])
+>>> dbn.add_cpds(
+...     TabularCPD(("rain", 0), 2, [[0.5], [0.5]]),
+...     TabularCPD(("umbrella", 0), 2, [[0.8, 0.1], [0.2, 0.9]],
+...                evidence=[("rain", 0)], evidence_card=[2]),
+...     TabularCPD(("rain", 1), 2, [[0.7, 0.3], [0.3, 0.7]],
+...                evidence=[("rain", 0)], evidence_card=[2]),
+...     TabularCPD(("umbrella", 1), 2, [[0.8, 0.1], [0.2, 0.9]],
+...                evidence=[("rain", 1)], evidence_card=[2]))
+>>> pf = ParticleFilter(dbn, n_particles=8192)
+>>> marg, particles, ess = pf.filter(
+...     evidence={("umbrella", t): 1 for t in range(5)},
+...     n_time_slices=5, seed=0)
+>>> m = np.asarray(marg[("rain", 4)], dtype=float)
+>>> bool(m[1] / m.sum() > 0.7)  # persistent umbrella => rain likely
+True
 """
 
 import networkx as nx

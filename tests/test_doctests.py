@@ -35,6 +35,12 @@ MODULES = [
     "pgmpy_tpu.estimators.hill_climb",
     "pgmpy_tpu.estimators.pc",
     "pgmpy_tpu.estimators.tree_search",
+    "pgmpy_tpu.models.dynamic_bn",
+    "pgmpy_tpu.models.markov_chain",
+    "pgmpy_tpu.estimators.em",
+    "pgmpy_tpu.estimators.citests",
+    "pgmpy_tpu.factors.noisy_or",
+    "pgmpy_tpu.sampling.smc",
     "pgmpy_tpu.parallel.distributed",
     "pgmpy_tpu.independencies.independencies",
     "pgmpy_tpu.metrics.metrics",
