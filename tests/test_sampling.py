@@ -216,3 +216,43 @@ class TestCacheInvalidation:
         cpd.set_value(0.9, diff=0)  # column no longer sums to 1
         with pytest.raises(ValueError, match="not equal to 1"):
             model.check_model()
+
+
+class TestGibbsTableLayouts:
+    """The oversized-factor fallback (shared flat log table + gather) must
+    agree exactly with the default per-variable permuted MXU layout."""
+
+    def test_flat_fallback_matches_mxu_conditionals(self):
+        import jax.numpy as jnp
+
+        from pgmpy_tpu.factors import DiscreteFactor
+        from pgmpy_tpu.models import DiscreteMarkovNetwork
+        from pgmpy_tpu.sampling.gibbs import CompiledGibbs, GibbsSampling
+
+        rng = np.random.default_rng(0)
+        mn = DiscreteMarkovNetwork([("a", "b"), ("b", "c")])
+        mn.add_factors(
+            DiscreteFactor(["a", "b"], [2, 3], rng.random((2, 3)) + 0.1),
+            DiscreteFactor(["b", "c"], [3, 2], rng.random((3, 2)) + 0.1),
+        )
+        orig = CompiledGibbs._DUP_TABLE_MAX
+        try:
+            CompiledGibbs._DUP_TABLE_MAX = 4  # force every factor flat
+            flat = GibbsSampling(mn)._compiled
+            assert all(
+                s[0] == "flat" for specs in flat._var_specs for s in specs
+            )
+        finally:
+            CompiledGibbs._DUP_TABLE_MAX = orig
+        mxu = GibbsSampling(mn)._compiled
+        assert any(
+            s[0] == "mxu" for specs in mxu._var_specs for s in specs
+        )
+        states = jnp.asarray(
+            rng.integers(0, [2, 3, 2], size=(64, 3)).astype(np.int32)
+        )
+        for var in ("a", "b", "c"):
+            i = mxu.var_index[var]
+            a = np.asarray(mxu._conditional_logits(states, i), dtype=np.float64)
+            b = np.asarray(flat._conditional_logits(states, i), dtype=np.float64)
+            np.testing.assert_allclose(a, b, atol=1e-6, err_msg=var)
