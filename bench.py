@@ -104,8 +104,14 @@ def main():
     for _ in range(15):
         t0 = time.time()
         bp._calibrate_junction_tree("marginalize")
-        # honest wall time: wait for the device program, not just dispatch
-        jax.block_until_ready(bp._raw_beliefs)
+        # honest wall time: wait for program completion.  Block on ONE
+        # output buffer, not the whole 440-buffer pytree: an XLA program's
+        # outputs become ready together when execution finishes, but the
+        # tunnel charges a per-HANDLE sync for each blocked array — r5
+        # traced 6.7 ms vs ~90 ms swings in this loop to tunnel-state-
+        # dependent per-handle sync cost, not the device (the
+        # readback_median below hard-bounds true execution).
+        jax.block_until_ready(bp._raw_beliefs[0][0])
         times.append(time.time() - t0)
     times.sort()
     steady = times[len(times) // 2]
