@@ -205,8 +205,12 @@ class _FloodingProgram:
 
     def run(self, fixed, f2v_init, tables):
         """One device dispatch: flood until convergence (or ``max_iter``).
-        ``self.last_rounds`` records how many rounds the sweep took."""
-        out, n_rounds = self._fn(jnp.asarray(fixed), jnp.asarray(f2v_init), tables)
+        ``self.last_rounds`` records how many rounds the sweep took.
+        Both outputs come back in ONE device_get (each separate fetch is a
+        tunnel roundtrip)."""
+        out, n_rounds = jax.device_get(
+            self._fn(jnp.asarray(fixed), jnp.asarray(f2v_init), tables)
+        )
         self.last_rounds = int(n_rounds)
         return out
 
